@@ -1,0 +1,19 @@
+"""audiossl_tpu — a TPU-native audio self-supervised-learning framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of
+Audio-WestlakeU/audiossl (ATST-Clip / ATST-Frame pretraining, the unified
+downstream evaluation suite, and the public embedding API), designed for
+TPU hardware:
+
+* the entire mel front-end + augmentation chain runs **on device**
+  (the reference runs torchaudio DSP on CPU in DataLoader workers);
+* models are pure-functional flax modules compiled once per static shape;
+* data parallelism is SPMD over a ``jax.sharding.Mesh`` with XLA
+  collectives (the reference uses Lightning DDP/NCCL);
+* the EMA teacher update, schedules and optimizer all live inside one
+  jitted train step.
+
+Reference capability map: see SURVEY.md at the repo root.
+"""
+
+__version__ = "0.1.0"

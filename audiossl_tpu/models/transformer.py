@@ -1,0 +1,123 @@
+"""Pre-norm ViT blocks with variable-length attention masking.
+
+Functional flax counterpart of the reference building blocks
+(reference audiossl/modules/transformer.py:95-159): `Attention` (joint
+QKV projection, additive -10000 padding mask), `Mlp` (GELU), `DropPath`
+(per-sample stochastic depth) and the pre-norm residual `Block`.
+
+TPU notes: attention stays as plain einsum matmuls — sequences here are
+tiny (<=251 tokens at 10 s audio, patch 64x4), so a flash-attention
+kernel buys nothing; batched QK^T/AV land straight on the MXU and XLA
+fuses softmax+mask. All shapes are static; variable length is carried
+as an additive key mask built from per-sample token counts.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+# The reference uses an additive -10000 mask (not -inf); kept for parity.
+MASK_VALUE = -10000.0
+
+
+def length_to_attn_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
+    """[B] token counts -> additive attention mask [B, 1, 1, max_len]."""
+    pos = jnp.arange(max_len)
+    pad = pos[None, :] >= lengths[:, None]  # True where padded
+    return (pad.astype(jnp.float32) * MASK_VALUE)[:, None, None, :]
+
+
+def length_to_token_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
+    """[B] token counts -> boolean validity mask [B, max_len]."""
+    return jnp.arange(max_len)[None, :] < lengths[:, None]
+
+
+class Attention(nn.Module):
+    dim: int
+    num_heads: int
+    qkv_bias: bool = False
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None, deterministic=True):
+        B, N, C = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim ** -0.5
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, hd]
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+        if attn_mask is not None:
+            attn = attn + attn_mask.astype(attn.dtype)
+        attn = jax.nn.softmax(attn, axis=-1)
+        if self.attn_drop > 0:
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        out = nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="proj")(out)
+        if self.proj_drop > 0:
+            out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class Mlp(nn.Module):
+    dim: int
+    hidden_dim: int
+    drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        if self.drop > 0:
+            x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        if self.drop > 0:
+            x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+def drop_path(x, rate, deterministic, rng):
+    """Per-sample stochastic depth (reference modules/transformer.py:56-66)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jnp.floor(keep + jax.random.uniform(rng, shape, dtype=x.dtype))
+    return x / keep * mask
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None, deterministic=True):
+        y = nn.LayerNorm(epsilon=self.eps, name="norm1")(x)
+        y = Attention(self.dim, self.num_heads, self.qkv_bias, self.attn_drop,
+                      self.drop, dtype=self.dtype, name="attn")(
+            y, attn_mask, deterministic)
+        if self.drop_path_rate > 0 and not deterministic:
+            y = drop_path(y, self.drop_path_rate, deterministic,
+                          self.make_rng("droppath"))
+        x = x + y
+        y = nn.LayerNorm(epsilon=self.eps, name="norm2")(x)
+        y = Mlp(self.dim, int(self.dim * self.mlp_ratio), self.drop,
+                dtype=self.dtype, name="mlp")(y, deterministic)
+        if self.drop_path_rate > 0 and not deterministic:
+            y = drop_path(y, self.drop_path_rate, deterministic,
+                          self.make_rng("droppath"))
+        return x + y

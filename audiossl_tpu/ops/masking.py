@@ -1,0 +1,91 @@
+"""Token masking for masked teacher-student pretraining (ATST-Frame).
+
+TPU-native reimplementation of the masking semantics the reference pulls
+from fairseq (``compute_mask_indices``) and its local wrappers
+(reference ``methods/atstframe/random_mask.py:5-36``):
+
+* ``random`` — per-sample random subset of exactly ``ceil(ratio*n)``
+  valid tokens (reference ``get_mask_one``: ``randperm(n) < n*ratio``);
+  tokens beyond the valid length are marked masked (padded with True).
+* ``block``  — fixed-length spans ("static" in fairseq) with
+  ``num_spans = ratio*n/span`` start positions sampled uniformly;
+  overlaps allowed (the reference calls with ``no_overlap=False``),
+  at least ``min_masks=2`` spans.
+* ``uniform`` — spans with lengths uniform in ``[min_span, 2*span]``.
+
+The reference computes masks on CPU inside DataLoader workers; here they
+are computed on device from PRNG keys with static shapes, so they fuse
+into the training step. Counts are deterministic per sample (fairseq
+adds a random 0/1 rounding term); this is a documented distributional
+equivalence, not a bitwise port.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def random_token_mask(key, batch: int, num_tokens: int, ratio: float, valid=None):
+    """[B, T] bool mask; exactly ceil(ratio * valid) True among valid tokens,
+    True everywhere past the valid length (matching reference get_mask_one's
+    pad(value=1))."""
+    u = jax.random.uniform(key, (batch, num_tokens))
+    if valid is None:
+        valid = jnp.full((batch,), num_tokens, dtype=jnp.int32)
+    else:
+        valid = jnp.asarray(valid, dtype=jnp.int32)
+    tok = jnp.arange(num_tokens)[None, :]
+    in_valid = tok < valid[:, None]
+    # rank of each valid token among valid tokens: sort by (invalid, u)
+    u = jnp.where(in_valid, u, 2.0)
+    rank = jnp.argsort(jnp.argsort(u, axis=-1), axis=-1)
+    k = jnp.ceil(ratio * valid.astype(jnp.float32)).astype(jnp.int32)
+    mask = rank < k[:, None]
+    return jnp.where(in_valid, mask, True)
+
+
+def _span_mask(key, batch, num_tokens, starts_count, span_lengths):
+    """Union of spans [start, start+len) per sample.
+
+    starts are sampled uniformly in [0, num_tokens - max_len]."""
+    tok = jnp.arange(num_tokens)[None, None, :]  # [1, 1, T]
+    starts, lengths = span_lengths  # [B, K] each
+    s = starts[:, :, None]
+    e = s + lengths[:, :, None]
+    return jnp.any((tok >= s) & (tok < e), axis=1)  # [B, T]
+
+
+def block_token_mask(key, batch: int, num_tokens: int, ratio: float,
+                     span: int = 5, min_masks: int = 2):
+    """Fairseq "static" block masking: fixed span length, overlapping spans."""
+    num_spans = max(min_masks, int(round(ratio * num_tokens / span)))
+    ks, = jax.random.split(key, 1)
+    hi = max(1, num_tokens - span + 1)
+    starts = jax.random.randint(ks, (batch, num_spans), 0, hi)
+    lengths = jnp.full((batch, num_spans), span, dtype=jnp.int32)
+    return _span_mask(key, batch, num_tokens, num_spans, (starts, lengths))
+
+
+def uniform_span_mask(key, batch: int, num_tokens: int, ratio: float,
+                      span: int = 5, min_span: int = 2, min_masks: int = 2):
+    """Fairseq "uniform" masking: span lengths uniform in [min_span, 2*span]."""
+    mean_len = (min_span + 2 * span) / 2.0
+    num_spans = max(min_masks, int(round(ratio * num_tokens / mean_len)))
+    k1, k2 = jax.random.split(key)
+    lengths = jax.random.randint(k1, (batch, num_spans), min_span, 2 * span + 1)
+    hi = max(1, num_tokens - 2 * span + 1)
+    starts = jax.random.randint(k2, (batch, num_spans), 0, hi)
+    return _span_mask(key, batch, num_tokens, num_spans, (starts, lengths))
+
+
+def make_token_mask(key, batch, num_tokens, ratio, mask_type="block",
+                    span=5, min_span=2, valid=None):
+    """Dispatch matching reference FrameATSTTrainTransform mask_type flag."""
+    if mask_type == "random":
+        return random_token_mask(key, batch, num_tokens, ratio, valid=valid)
+    if mask_type == "block":
+        return block_token_mask(key, batch, num_tokens, ratio, span=span)
+    if mask_type == "uniform":
+        return uniform_span_mask(key, batch, num_tokens, ratio, span=span,
+                                 min_span=min_span)
+    raise ValueError(f"unknown mask_type {mask_type!r}")

@@ -1,0 +1,222 @@
+"""On-device log-mel spectrogram front end (TPU-native).
+
+Reproduces the reference front end — torchaudio ``MelSpectrogram`` +
+``AmplitudeToDB(stype="power", top_db=80)`` + ``MinMax(-79.6482, 50.6842)``
+as configured at ``/root/reference/audiossl/methods/atst/transform.py:14-18``
+— as pure JAX ops that run batched on TPU instead of per-sample on CPU
+DataLoader workers.
+
+Semantics matched (verified by golden tests in tests/test_melspec.py):
+
+* STFT: ``center=True``, reflect padding, periodic Hann window,
+  ``n_fft == win_length``, ``power=2.0``, not normalized, one-sided.
+* Mel filterbank: HTK mel scale, no norm (torchaudio defaults).
+* ``AmplitudeToDB``: ``10*log10(clamp(x, 1e-10))`` then clamp to
+  ``per-sample max - top_db`` (torchaudio computes the max per batch item
+  over channel/freq/time).
+* MinMax: ``(x - min)/(max - min)*2 - 1``.
+
+Variable lengths: the reference crops the waveform *first* and runs the
+mel transform on the exact-length signal, then zero-pads the spectrogram
+(`methods/atst/transform.py:60-73`). On TPU we keep static shapes: the
+waveform arrives zero-padded to a static size together with its valid
+sample count, and this module reproduces the reference values inside the
+valid region by applying the reflect padding *at the dynamic boundary*
+via index arithmetic (see ``_reflect_index``). Frames past the valid
+region are garbage and must be masked downstream (the models do, via
+their length masks).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# MinMax constants of the reference recipe (provenance: computed over the
+# AudioSet train mel statistics, reference methods/atstframe/calculate_min_max.py).
+MEL_MIN = -79.6482
+MEL_MAX = 50.6842
+
+
+@dataclasses.dataclass(frozen=True)
+class MelConfig:
+    sample_rate: int = 16000
+    n_fft: int = 1024
+    win_length: int = 1024
+    hop_length: int = 160
+    n_mels: int = 64
+    f_min: float = 60.0
+    f_max: float = 7800.0
+    top_db: float = 80.0
+    amin: float = 1e-10
+    mel_min: float = MEL_MIN
+    mel_max: float = MEL_MAX
+
+    @property
+    def n_freqs(self) -> int:
+        return self.n_fft // 2 + 1
+
+    def num_frames(self, num_samples: int) -> int:
+        # torch.stft with center=True: 1 + L // hop
+        return 1 + num_samples // self.hop_length
+
+
+def hann_window(win_length: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Periodic Hann window (torch.hann_window(periodic=True))."""
+    n = jnp.arange(win_length, dtype=dtype)
+    return 0.5 * (1.0 - jnp.cos(2.0 * jnp.pi * n / win_length))
+
+
+def _hz_to_mel_htk(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def _mel_to_hz_htk(m):
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+@functools.lru_cache(maxsize=8)
+def _mel_filterbank_np(
+    n_freqs: int, f_min: float, f_max: float, n_mels: int, sample_rate: int
+) -> np.ndarray:
+    """HTK-scale triangular mel filterbank, shape [n_freqs, n_mels].
+
+    Standard triangular construction on the HTK mel scale with no
+    normalization (torchaudio ``melscale_fbanks`` defaults:
+    ``mel_scale="htk"``, ``norm=None``).
+    """
+    all_freqs = np.linspace(0.0, sample_rate / 2.0, n_freqs)
+    m_min = _hz_to_mel_htk(f_min)
+    m_max = _hz_to_mel_htk(f_max)
+    m_pts = np.linspace(m_min, m_max, n_mels + 2)
+    f_pts = _mel_to_hz_htk(m_pts)  # [n_mels + 2]
+    f_diff = f_pts[1:] - f_pts[:-1]  # [n_mels + 1]
+    slopes = f_pts[None, :] - all_freqs[:, None]  # [n_freqs, n_mels + 2]
+    down = -slopes[:, :-2] / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    fb = np.maximum(0.0, np.minimum(down, up))
+    return fb.astype(np.float32)
+
+
+def mel_filterbank(cfg: MelConfig) -> jnp.ndarray:
+    return jnp.asarray(
+        _mel_filterbank_np(cfg.n_freqs, cfg.f_min, cfg.f_max, cfg.n_mels, cfg.sample_rate)
+    )
+
+
+def _reflect_index(j: jnp.ndarray, length) -> jnp.ndarray:
+    """Map possibly-out-of-range sample indices to in-range ones using
+    reflect padding at a (possibly dynamic) boundary ``length``.
+
+    torch reflect semantics: index -k maps to k; index length-1+k maps to
+    length-1-k. A single reflection suffices because pad (n_fft//2) is
+    smaller than any real clip length.
+    """
+    j = jnp.abs(j)
+    j = jnp.where(j >= length, 2 * length - 2 - j, j)
+    return jnp.clip(j, 0, length - 1)
+
+
+def _frame_signal(wav: jnp.ndarray, length, cfg: MelConfig) -> jnp.ndarray:
+    """Slice a padded waveform [B, L] into centered STFT frames.
+
+    Returns [B, T, win_length] with T = 1 + L // hop. Reflect padding at
+    both the static left edge and the dynamic per-sample right boundary.
+    """
+    B, L = wav.shape
+    T = cfg.num_frames(L)
+    pad = cfg.n_fft // 2
+    starts = jnp.arange(T, dtype=jnp.int32) * cfg.hop_length - pad  # [T]
+    offs = jnp.arange(cfg.win_length, dtype=jnp.int32)  # [win]
+    idx = starts[:, None] + offs[None, :]  # [T, win]
+    if length is None:
+        j = _reflect_index(idx, L)  # [T, win]
+        return wav[:, j]
+    length = jnp.asarray(length, dtype=jnp.int32).reshape(B, 1, 1)
+    j = _reflect_index(idx[None, :, :], length)  # [B, T, win]
+    return jnp.take_along_axis(wav[:, None, :], j.reshape(B, -1)[:, None, :], axis=-1).reshape(
+        B, T, cfg.win_length
+    )
+
+
+def power_spectrogram(
+    wav: jnp.ndarray, length=None, cfg: MelConfig = MelConfig()
+) -> jnp.ndarray:
+    """Power spectrogram |STFT|^2, shape [B, T, n_freqs]."""
+    frames = _frame_signal(wav.astype(jnp.float32), length, cfg)
+    frames = frames * hann_window(cfg.win_length)
+    spec = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)
+    return jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+
+
+def amplitude_to_db(
+    power: jnp.ndarray,
+    cfg: MelConfig = MelConfig(),
+    valid_frames: Optional[jnp.ndarray] = None,
+    frame_axis: int = -1,
+) -> jnp.ndarray:
+    """Power → dB with per-sample top_db clamping.
+
+    ``valid_frames`` (optional, [B]) restricts the per-sample max used by
+    the top_db clamp to the valid frames, so a zero-padded batch matches
+    the reference's per-crop computation exactly.
+    """
+    x_db = 10.0 * jnp.log10(jnp.maximum(power, cfg.amin))
+    if cfg.top_db is None:
+        return x_db
+    reduce_axes = tuple(range(1, x_db.ndim))
+    if valid_frames is not None:
+        T = x_db.shape[frame_axis]
+        frame_ids = jnp.arange(T)
+        shape = [1] * x_db.ndim
+        shape[frame_axis % x_db.ndim] = T
+        mask = frame_ids.reshape(shape) < valid_frames.reshape(
+            (-1,) + (1,) * (x_db.ndim - 1)
+        )
+        masked = jnp.where(mask, x_db, -jnp.inf)
+        max_db = jnp.max(masked, axis=reduce_axes, keepdims=True)
+    else:
+        max_db = jnp.max(x_db, axis=reduce_axes, keepdims=True)
+    return jnp.maximum(x_db, max_db - cfg.top_db)
+
+
+def minmax_scale(x: jnp.ndarray, cfg: MelConfig = MelConfig()) -> jnp.ndarray:
+    return (x - cfg.mel_min) / (cfg.mel_max - cfg.mel_min) * 2.0 - 1.0
+
+
+def log_melspec(
+    wav: jnp.ndarray,
+    length=None,
+    cfg: MelConfig = MelConfig(),
+    normalize: bool = True,
+) -> jnp.ndarray:
+    """Waveform [B, L] (+ optional valid sample counts [B]) → normalized
+    log-mel spectrogram [B, n_mels, T], T = 1 + L // hop.
+
+    Equivalent to the reference chain MelSpectrogram → AmplitudeToDB →
+    MinMax applied per exact-length crop.
+    """
+    if wav.ndim == 1:
+        wav = wav[None]
+    power = power_spectrogram(wav, length, cfg)  # [B, T, F]
+    mel = jnp.einsum(
+        "btf,fm->btm", power, mel_filterbank(cfg), preferred_element_type=jnp.float32
+    )
+    valid = None
+    if length is not None:
+        valid = jnp.asarray(length, dtype=jnp.int32) // cfg.hop_length + 1
+    mel = jnp.transpose(mel, (0, 2, 1))  # [B, n_mels, T]
+    db = amplitude_to_db(mel, cfg, valid_frames=valid, frame_axis=-1)
+    if normalize:
+        db = minmax_scale(db, cfg)
+    return db
+
+
+def mel_frame_count(num_samples, hop_length: int = 160):
+    """Reference length bookkeeping: ``int(len_s*16000)//160 + 1``."""
+    return num_samples // hop_length + 1
