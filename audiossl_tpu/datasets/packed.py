@@ -1,0 +1,184 @@
+"""Packed audio record store (the LMDB replacement) + reader.
+
+The reference stores pretraining/downstream audio as LMDB databases of
+pyarrow-serialized ``(waveform, label)`` tuples (reference
+``datasets/lmdb.py:12-97``, ``scripts/dataset_preprocess/dataset2lmdb.py``).
+LMDB's B-tree + per-sample deserialization is a poor fit for a
+sequential high-throughput host pipeline feeding TPUs, so this rebuild
+uses a flat seekable pack:
+
+* ``<split>.ards``      — magic + records back to back; each record is a
+  fixed 24-byte header followed by the raw waveform payload and a label
+  payload (serialized with numpy, not pickle).
+* ``<split>.ards.idx``  — ``uint64[N+1]`` byte offsets (npy), so any
+  record is one mmap slice; random access needs no tree walk.
+
+Readers: a zero-copy mmap Python reader here, and a C++ batched reader
+(``native/``) used by the training pipeline for parallel gather +
+int16->float32 conversion off the GIL. ``scripts/convert_lmdb.py``
+converts reference LMDB stores losslessly when the ``lmdb`` package is
+present.
+
+``PackedAudioDataset`` mirrors the reference ``LMDBDataset`` API:
+``subset`` takes a shuffled slice of keys and cycles it to the full
+epoch length (lmdb.py:30-44), ``return_key`` mode, and the same frame
+length heuristic (``>5 s -> 501 frames else n//160+1``, lmdb.py:84-92).
+"""
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+from typing import Optional, Sequence
+
+import numpy as np
+
+MAGIC = b"ARDS0001"
+_HEADER = struct.Struct("<IIBBHI8x")  # wav_bytes, label_bytes, dtype, ch, _, sr
+_DTYPES = {0: np.int16, 1: np.float32}
+_DTYPE_CODES = {np.dtype(np.int16): 0, np.dtype(np.float32): 1}
+
+
+class PackedWriter:
+    """Append-only writer for .ards packs."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._f = open(path, "wb")
+        self._f.write(MAGIC)
+        self._offsets = [len(MAGIC)]
+
+    def add(self, waveform: np.ndarray, label, sample_rate: int = 16000):
+        wav = np.ascontiguousarray(waveform)
+        if wav.dtype not in _DTYPE_CODES:
+            wav = wav.astype(np.float32)
+        code = _DTYPE_CODES[wav.dtype]
+        ch = 1 if wav.ndim == 1 else wav.shape[0]
+        lab = _encode_label(label)
+        self._f.write(_HEADER.pack(wav.nbytes, len(lab), code, ch, 0,
+                                   sample_rate))
+        self._f.write(wav.tobytes())
+        self._f.write(lab)
+        self._offsets.append(self._f.tell())
+
+    def close(self):
+        self._f.close()
+        np.save(self.path + ".idx", np.asarray(self._offsets, np.uint64))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+def _encode_label(label) -> bytes:
+    if isinstance(label, np.ndarray):
+        buf = io.BytesIO()
+        np.save(buf, label)
+        return b"N" + buf.getvalue()
+    return b"J" + json.dumps(label).encode()
+
+
+def _decode_label(raw: bytes):
+    if raw[:1] == b"N":
+        return np.load(io.BytesIO(raw[1:]))
+    return json.loads(raw[1:].decode())
+
+
+class PackedReader:
+    """mmap-backed random-access reader."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.offsets = np.load(path + ".idx")
+        self._mm = np.memmap(path, dtype=np.uint8, mode="r")
+        assert bytes(self._mm[: len(MAGIC)]) == MAGIC, f"bad magic in {path}"
+
+    def __len__(self):
+        return len(self.offsets) - 1
+
+    def read(self, i: int):
+        """-> (waveform float32 [n] scaled to [-1,1] for int16 input,
+        label, sample_rate)."""
+        lo = int(self.offsets[i])
+        head = _HEADER.unpack(bytes(self._mm[lo: lo + _HEADER.size]))
+        wav_bytes, label_bytes, code, ch, _, sr = head
+        p = lo + _HEADER.size
+        wav = np.frombuffer(self._mm[p: p + wav_bytes], dtype=_DTYPES[code])
+        if code == 0:
+            wav = wav.astype(np.float32) / 32768.0
+        else:
+            wav = np.asarray(wav, np.float32)
+        if ch > 1:
+            wav = wav.reshape(ch, -1).mean(axis=0)
+        label = _decode_label(bytes(self._mm[p + wav_bytes:
+                                             p + wav_bytes + label_bytes]))
+        return wav, label, sr
+
+    def num_samples(self, i: int) -> int:
+        lo = int(self.offsets[i])
+        wav_bytes, _, code, ch, _, _ = _HEADER.unpack(
+            bytes(self._mm[lo: lo + _HEADER.size]))
+        return wav_bytes // np.dtype(_DTYPES[code]).itemsize // max(ch, 1)
+
+
+class PackedAudioDataset:
+    """Reference ``LMDBDataset`` equivalent over a .ards pack."""
+
+    def __init__(self, path: str, split: str = "train",
+                 subset: Optional[int] = None, return_key: bool = False,
+                 transform=None, target_transform=None, seed: int = 1234):
+        self.reader = PackedReader(os.path.join(path, f"{split}.ards"))
+        n = len(self.reader)
+        keys = np.arange(n)
+        if subset is not None and subset < n:
+            rng = np.random.RandomState(seed)
+            sel = rng.permutation(n)[:subset]
+            # cycle the subset back to the full length (lmdb.py:38-44)
+            reps = int(np.ceil(n / subset))
+            keys = np.tile(sel, reps)[:n]
+        self.keys = keys
+        self.return_key = return_key
+        self.transform = transform
+        self.target_transform = target_transform
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, i: int):
+        k = int(self.keys[i])
+        wav, label, sr = self.reader.read(k)
+        if self.transform is not None:
+            wav = self.transform(wav)
+        if self.target_transform is not None:
+            label = self.target_transform(label)
+        if self.return_key:
+            return wav, label, k
+        return wav, label
+
+    def get_length(self, i: int) -> int:
+        """Frame-length heuristic of the reference (lmdb.py:84-92)."""
+        n = self.reader.num_samples(int(self.keys[i]))
+        if n > 5 * 16000:
+            return 501
+        return n // 160 + 1
+
+
+def write_synthetic_pack(path: str, split: str, n: int, sr: int = 16000,
+                         min_s: float = 1.0, max_s: float = 10.0,
+                         num_labels: int = 10, multi_label: bool = False,
+                         seed: int = 0):
+    """Synthetic data generator used by tests and benchmarks."""
+    rng = np.random.RandomState(seed)
+    os.makedirs(path, exist_ok=True)
+    with PackedWriter(os.path.join(path, f"{split}.ards")) as w:
+        for _ in range(n):
+            ln = int(rng.uniform(min_s, max_s) * sr)
+            wav = (rng.randn(ln) * 3000).astype(np.int16)
+            if multi_label:
+                label = (rng.rand(num_labels) < 0.05).astype(np.float32)
+            else:
+                label = int(rng.randint(num_labels))
+            w.add(wav, label, sr)

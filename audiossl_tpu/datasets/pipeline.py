@@ -1,0 +1,107 @@
+"""Host-side input pipeline: packed records -> padded device batches.
+
+The reference feeds GPUs with torch DataLoader workers that do file IO,
+decode AND the whole DSP/augmentation chain on CPU (SURVEY.md §3.1 —
+its actual bottleneck). Here the host does only IO + pad/stack; every
+FLOP (mel, augmentation, masking) runs on device inside the jitted
+step. The loader double-buffers batches with a small thread pool so
+host IO overlaps device compute.
+
+Batches are dicts of numpy arrays with STATIC shapes:
+  wav   [B, pad_samples] float32 (zero-padded)
+  valid [B]              int32   valid sample counts
+  label [B] / [B, C]     labels (classification) — optional
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class BatchLoader:
+    """Iterable over padded batches of a map-style dataset.
+
+    dataset must implement __len__ and __getitem__ -> (wav, label).
+    drop_last=True keeps shapes static (required under jit).
+    """
+
+    def __init__(self, dataset, batch_size: int, pad_samples: int,
+                 shuffle: bool = True, drop_last: bool = True,
+                 seed: int = 0, num_threads: int = 8,
+                 prefetch: int = 2, epoch: int = 0,
+                 include_labels: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.pad_samples = pad_samples
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.epoch = epoch
+        self.include_labels = include_labels
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _load_one(self, idx: int):
+        wav, label = self.dataset[idx][:2]
+        wav = np.asarray(wav, np.float32).reshape(-1)
+        n = min(len(wav), self.pad_samples)
+        out = np.zeros(self.pad_samples, np.float32)
+        out[:n] = wav[:n]
+        return out, n, label
+
+    def _make_batch(self, indices):
+        rows = [self._load_one(i) for i in indices]
+        wav = np.stack([r[0] for r in rows])
+        valid = np.asarray([r[1] for r in rows], np.int32)
+        batch = {"wav": wav, "valid": valid}
+        if self.include_labels:
+            labels = [r[2] for r in rows]
+            if isinstance(labels[0], np.ndarray):
+                batch["label"] = np.stack(labels)
+            else:
+                batch["label"] = np.asarray(labels)
+        return batch
+
+    def __iter__(self) -> Iterator[dict]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(order)
+        nb = len(self)
+        chunks = [order[i * self.batch_size:(i + 1) * self.batch_size]
+                  for i in range(nb)]
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for c in chunks:
+                    if stop.is_set():
+                        return
+                    q.put(self._make_batch(c))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                b = q.get()
+                if b is None:
+                    return
+                yield b
+        finally:
+            stop.set()
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch

@@ -1,0 +1,182 @@
+"""ATST-Frame pretraining, end-to-end on device.
+
+Reference recipe: ``audiossl/methods/atstframe/`` — one fixed-length
+crop duplicated into two views, per-view Mixup + freq-warp, ONE token
+mask shared by both views (``transform.py:14-101``), masked student vs
+unmasked teacher over frame embeddings with a symmetric cross-view BYOL
+loss (``model.py:24-88``, ``byol.py:57-84``), EMA teacher.
+
+Mask semantics: the reference computes fairseq block masks on CPU per
+sample; here masks are drawn on device (``ops/masking.py``) with the
+same distribution and fused into the step. The teacher receives the
+mask for *position selection only* (mask_input=False), the student's
+inputs are corrupted at masked positions (mask_input=True) — exactly
+the reference MultiCropWrapper flow (byol.py:118-131).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from audiossl_tpu.models.atst import frame_ast_base, frame_ast_small
+from audiossl_tpu.models.byol import frame_byol_loss
+from audiossl_tpu.ops.masking import make_token_mask
+from audiossl_tpu.ops.melspec import MelConfig, log_melspec
+from audiossl_tpu.transforms.augment import (
+    mixup_log,
+    random_crop_wav,
+    random_resize_crop,
+)
+from audiossl_tpu.training.pretrain import (
+    Branch,
+    OptimizerConfig,
+    PretrainState,
+    init_pretrain_state,
+    make_pretrain_step,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class FramePretrainConfig:
+    arch: str = "small"
+    sr: int = 16000
+    anchor_len: float = 6.0
+    symmetric: bool = True
+    aug_tea: bool = True
+    aug_stu: bool = True
+    mix_up: bool = True
+    freq_wrap: bool = True
+    mask_ratio: float = 0.75
+    mask_type: str = "block"
+    mask_len: int = 5
+    min_mask_len: int = 2
+    mixup_ratio: float = 0.4
+    avg_blocks: int = 0
+    pos_type: str = "cut"
+    patch_h: int = 64
+    patch_w: int = 4
+    optimizer: OptimizerConfig = OptimizerConfig()
+    mel: MelConfig = MelConfig()
+    dtype: str = "float32"
+
+    @property
+    def out_frames(self) -> int:
+        return int(self.anchor_len * self.sr) // self.mel.hop_length + 1
+
+    @property
+    def out_samples(self) -> int:
+        return int(self.anchor_len * self.sr)
+
+    @property
+    def num_patches(self) -> int:
+        w = int(self.anchor_len * self.sr) // self.mel.hop_length + 1
+        return (self.mel.n_mels // self.patch_h) * (w // self.patch_w)
+
+
+def _aug_view(key, mel, frames, cfg: FramePretrainConfig, enabled: bool):
+    if not enabled:
+        return mel
+    k_mix, k_rrc = jax.random.split(key)
+    if cfg.mix_up:
+        mel = mixup_log(k_mix, mel, cfg.mixup_ratio, valid_frames=frames)
+    if cfg.freq_wrap:
+        # RandomResizeCrop((1,1.0), time_scale=(1.0,1.0)): pure freq warp
+        mel = random_resize_crop(
+            k_rrc, mel, virtual_crop_scale=(1.0, 1.0),
+            freq_scale=(0.6, 1.5), time_scale=(1.0, 1.0),
+            valid_frames=frames)
+    return mel
+
+
+def frame_train_views(key, wav, valid, cfg: FramePretrainConfig):
+    """waveforms [B, L] -> (mel [2B, F, T], frames [2B], mask [2B, Np]).
+
+    View 1 = teacher view (aug_tea), view 2 = student view (aug_stu);
+    both come from the SAME crop and share the SAME token mask
+    (reference transform.py:70-101).
+    """
+    B = wav.shape[0]
+    k_crop, k_v1, k_v2, k_mask = jax.random.split(key, 4)
+    crop_len = jnp.full((B,), cfg.out_samples, jnp.int32)
+    crops, crop_valid = random_crop_wav(k_crop, wav, valid, crop_len,
+                                        cfg.out_samples)
+    mel = log_melspec(crops, crop_valid, cfg.mel)
+    frames = crop_valid // cfg.mel.hop_length + 1
+    v1 = _aug_view(k_v1, mel, frames, cfg, cfg.aug_tea)
+    v2 = _aug_view(k_v2, mel, frames, cfg, cfg.aug_stu)
+    mask = make_token_mask(k_mask, B, cfg.num_patches, cfg.mask_ratio,
+                           mask_type=cfg.mask_type, span=cfg.mask_len,
+                           min_span=cfg.min_mask_len)
+    mel2 = jnp.concatenate([v1, v2], axis=0)
+    frames2 = jnp.concatenate([frames, frames], axis=0)
+    mask2 = jnp.concatenate([mask, mask], axis=0)
+    return mel2, frames2, mask2
+
+
+class FrameMethod:
+    def __init__(self, cfg: FramePretrainConfig):
+        self.cfg = cfg
+        enc_kw = dict(
+            spec_h=cfg.mel.n_mels,
+            spec_w=cfg.out_frames,
+            patch_h=cfg.patch_h,
+            patch_w=cfg.patch_w,
+            pos_type=cfg.pos_type,
+            dtype=jnp.dtype(cfg.dtype),
+        )
+        enc_fn = {"small": frame_ast_small, "base": frame_ast_base}[cfg.arch]
+        if cfg.avg_blocks == 0:  # ATST-Frame
+            self.student = Branch(encoder=enc_fn(**enc_kw), projector="mlp",
+                                  predictor=True)
+            self.teacher = Branch(encoder=enc_fn(**enc_kw), projector="mlp",
+                                  predictor=False)
+        else:  # data2vec-style
+            self.student = Branch(encoder=enc_fn(**enc_kw),
+                                  projector="linear", predictor=False)
+            self.teacher = Branch(
+                encoder=enc_fn(avg_blocks=cfg.avg_blocks, **enc_kw),
+                projector="none", predictor=False)
+
+    def init_state(self, rng) -> PretrainState:
+        cfg = self.cfg
+        mel = jnp.zeros((2, cfg.mel.n_mels, cfg.out_frames), jnp.float32)
+        length = jnp.full((2,), cfg.out_frames, jnp.int32)
+        mask = jnp.zeros((2, cfg.num_patches), bool)
+        return init_pretrain_state(
+            rng, self.student, self.teacher, (mel, length, mask),
+            cfg.optimizer)
+
+    def forward_loss(self, student_apply, teacher_apply, batch, rng):
+        cfg = self.cfg
+        wav, valid = batch["wav"], batch["valid"]
+        k_aug, k_dp, k_dpt = jax.random.split(rng, 3)
+        mel2, frames2, mask2 = frame_train_views(k_aug, wav, valid, cfg)
+        if cfg.symmetric:
+            s_in, s_len, s_mask = mel2, frames2, mask2
+            t_in, t_len, t_mask = mel2, frames2, mask2
+        else:
+            B = wav.shape[0]
+            t_in, t_len, t_mask = mel2[:B], frames2[:B], mask2[:B]
+            s_in, s_len, s_mask = mel2[B:], frames2[B:], mask2[B:]
+        (s_out, s_sel), s_updates = student_apply(
+            s_in, s_len, mask_index=s_mask, apply_mask=True,
+            rngs={"droppath": k_dp})
+        (t_out, t_sel), t_updates = teacher_apply(
+            t_in, t_len, mask_index=t_mask, apply_mask=False,
+            rngs={"droppath": k_dpt})
+        t_out = jax.lax.stop_gradient(t_out)
+        ls = frame_byol_loss(s_out, t_out, s_sel, symmetric=cfg.symmetric)
+        aux = {
+            "student_stats": s_updates,
+            "teacher_stats": t_updates,
+            "std_frm_stu": ls.std_student,
+            "std_frm_tea": ls.std_teacher,
+        }
+        return ls.loss, aux
+
+    def make_step(self):
+        return make_pretrain_step(self.student, self.teacher,
+                                  self.cfg.optimizer, self.forward_loss)

@@ -1,0 +1,57 @@
+"""Device mesh + sharding helpers (the SPMD replacement for DDP).
+
+The reference's only parallelism is Lightning DDP over NCCL (reference
+``methods/atst/train.py:19``, SURVEY.md §2.8): per-GPU processes, ring
+all-reduce of gradients, DistributedSampler batch splitting. The
+TPU-native equivalent is one SPMD program over a ``jax.sharding.Mesh``:
+
+* batch arrays sharded over the ``data`` axis (ICI within a slice);
+* parameters/optimizer state replicated;
+* gradient mean, BYOL variance stats, sync-BN statistics and metric
+  gathers all become plain global reductions inside ``jit`` — XLA
+  inserts the collectives (psum/all-gather) automatically.
+
+Models here are <=90M params, so data parallelism saturates; the mesh
+is 1-D by default but helpers accept any axis layout for larger runs.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def data_mesh(n_devices: Optional[int] = None, axis_name: str = "data",
+              devices: Optional[Sequence] = None) -> Mesh:
+    """1-D data-parallel mesh over all (or the first n) devices."""
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree, axis_name: str = "data"):
+    """device_put every leaf with its batch axis sharded over `axis_name`."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def replicate_tree(mesh: Mesh, tree):
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def global_batch_size(per_device: int, mesh: Mesh, axis_name: str = "data"
+                      ) -> int:
+    return per_device * mesh.shape[axis_name]

@@ -1,0 +1,173 @@
+"""On-device augmentation semantics tests.
+
+Golden checks against the reference behaviors (torch versions of
+RandomResizeCrop / Mixup / RandomCrop — reference
+audiossl/transforms/{byol_a,common}.py) where exact equality is defined,
+and distributional checks where the TPU design is documented as a
+semantic equivalent (in-batch mixup, device-side masks).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiossl_tpu.ops.masking import (
+    block_token_mask,
+    random_token_mask,
+    uniform_span_mask,
+)
+from audiossl_tpu.transforms.augment import (
+    freq_mask,
+    mixup_log,
+    random_crop_wav,
+    random_resize_crop,
+    sample_crop_lengths,
+    time_mask,
+)
+
+
+def test_random_crop_semantics():
+    B, L = 4, 1000
+    wav = jnp.tile(jnp.arange(L, dtype=jnp.float32)[None], (B, 1))
+    valid = jnp.array([1000, 600, 300, 1000], jnp.int32)
+    crop_len = jnp.array([500, 500, 500, 1000], jnp.int32)
+    crops, out_valid = random_crop_wav(jax.random.PRNGKey(0), wav, valid,
+                                       crop_len, 1000)
+    assert crops.shape == (B, 1000)
+    np.testing.assert_array_equal(np.asarray(out_valid),
+                                  [500, 500, 300, 1000])
+    # crop content is contiguous from the source
+    c0 = np.asarray(crops[0][:500])
+    assert np.all(np.diff(c0) == 1)
+    # padded region is zero
+    assert np.all(np.asarray(crops[2][300:]) == 0)
+
+
+def test_mixup_log_range_and_identity():
+    B, F, T = 8, 16, 32
+    spec = jax.random.uniform(jax.random.PRNGKey(1), (B, F, T),
+                              minval=-1.0, maxval=1.0)
+    out = mixup_log(jax.random.PRNGKey(2), spec, ratio=0.4)
+    assert out.shape == spec.shape
+    assert bool(jnp.isfinite(out).all())
+    # alpha <= 0.4 keeps the mix close to x in exp space
+    assert float(jnp.abs(out - spec).max()) < 1.5
+    # ratio=0 -> log(exp(x)+eps) ~= x
+    out0 = mixup_log(jax.random.PRNGKey(2), spec, ratio=0.0)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(spec),
+                               atol=1e-5)
+
+
+def test_mixup_log_matches_reference_formula():
+    """mixed = log((1-a) exp(x) + a exp(z) + eps) for the rolled batch."""
+    B, F, T = 4, 8, 10
+    key = jax.random.PRNGKey(3)
+    spec = jax.random.uniform(key, (B, F, T), minval=-1.0, maxval=1.0)
+    out = np.asarray(mixup_log(key, spec, ratio=0.4))
+    k1, k2 = jax.random.split(key)
+    a = 0.4 * np.asarray(jax.random.uniform(k1, (B, 1, 1)))
+    shift = int(jax.random.randint(k2, (), 1, B))
+    z = np.roll(np.asarray(spec), shift, axis=0)
+    eps = np.finfo(np.float32).eps
+    want = np.log((1 - a) * np.exp(np.asarray(spec)) + a * np.exp(z) + eps)
+    np.testing.assert_allclose(out, want, atol=1e-5)
+
+
+def test_rrc_identity_time_mapping():
+    """frame-method path (vc=1, time_scale=(1,1)) must keep time exact:
+    column j of the output only mixes frequencies of column j."""
+    B, F, T = 4, 16, 20
+    # delta in time: one hot column
+    spec = jnp.zeros((B, F, T)).at[:, :, 7].set(1.0)
+    out = random_resize_crop(jax.random.PRNGKey(0), spec,
+                             virtual_crop_scale=(1.0, 1.0),
+                             freq_scale=(0.6, 1.5), time_scale=(1.0, 1.0),
+                             valid_frames=jnp.full((B,), T, jnp.int32))
+    o = np.asarray(out)
+    # energy stays in column 7 (bicubic ringing can spill tiny amounts)
+    others = np.delete(o, 7, axis=2)
+    assert np.abs(others).max() < 1e-4
+    assert np.abs(o[:, :, 7]).max() > 0.1
+
+
+def test_rrc_valid_region_zero_padding():
+    B, F, T = 4, 16, 40
+    spec = jax.random.normal(jax.random.PRNGKey(1), (B, F, T))
+    valid = jnp.array([40, 20, 30, 10], jnp.int32)
+    pos = jnp.arange(T)[None, None, :]
+    spec = jnp.where(pos < valid[:, None, None], spec, 0.0)
+    out = random_resize_crop(jax.random.PRNGKey(2), spec,
+                             virtual_crop_scale=(1.0, 1.5),
+                             valid_frames=valid)
+    o = np.asarray(out)
+    assert np.isfinite(o).all()
+    for b, v in enumerate([40, 20, 30, 10]):
+        assert np.all(o[b, :, v:] == 0)
+
+
+def test_rrc_matches_torch_bicubic_fixed_box():
+    """Full-canvas box == plain bicubic resize; compare to torch."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as tF
+
+    B, F, T = 1, 16, 24
+    rng = np.random.RandomState(0)
+    x = rng.randn(B, F, T).astype(np.float32)
+    # force deterministic box: freq_scale=time_scale=(1.5,1.5), vc=(1.5,1.5)
+    # then h=w=canvas size and i=j=0 -> crop == whole canvas
+    out = random_resize_crop(jax.random.PRNGKey(0), jnp.asarray(x),
+                             virtual_crop_scale=(1.5, 1.5),
+                             freq_scale=(1.5, 1.5000001),
+                             time_scale=(1.5, 1.5000001))
+    CH, CW = int(F * 1.5), int(T * 1.5)
+    canvas = np.zeros((B, CH, CW), np.float32)
+    y0, x0 = (CH - F) // 2, (CW - T) // 2
+    canvas[:, y0:y0 + F, x0:x0 + T] = x
+    want = tF.interpolate(torch.from_numpy(canvas).unsqueeze(0),
+                          size=(F, T), mode="bicubic",
+                          align_corners=True).squeeze(0).numpy()
+    np.testing.assert_allclose(np.asarray(out), want, atol=2e-4)
+
+
+def test_freq_time_mask_shapes():
+    B, F, T = 4, 16, 32
+    spec = jnp.ones((B, F, T))
+    fm = freq_mask(jax.random.PRNGKey(0), spec, max_width=6)
+    tm = time_mask(jax.random.PRNGKey(1), spec, max_width=10)
+    assert fm.shape == spec.shape and tm.shape == spec.shape
+    assert float(fm.min()) == 0.0 or float(fm.max()) == 1.0
+    # masked values are exactly zero, others untouched
+    assert set(np.unique(np.asarray(fm))) <= {0.0, 1.0}
+
+
+def test_mask_ratios():
+    key = jax.random.PRNGKey(0)
+    B, N = 64, 100
+    m = random_token_mask(key, B, N, 0.65)
+    frac = float(m.mean())
+    assert abs(frac - 0.65) < 0.01
+    mb = block_token_mask(key, B, N, 0.65, span=5)
+    # overlapping spans: fraction below nominal but substantial
+    assert 0.3 < float(mb.mean()) <= 0.65 + 0.05
+    mu = uniform_span_mask(key, B, N, 0.65, span=5)
+    assert 0.2 < float(mu.mean()) <= 0.75
+
+
+def test_random_mask_respects_valid():
+    key = jax.random.PRNGKey(0)
+    valid = jnp.array([50, 100], jnp.int32)
+    m = random_token_mask(key, 2, 100, 0.5, valid=valid)
+    # past-valid tokens are masked True (reference pads mask with 1)
+    assert bool(m[0, 50:].all())
+    k = int(np.ceil(0.5 * 50))
+    assert int(m[0, :50].sum()) == k
+
+
+def test_sample_crop_lengths_fixed_and_range():
+    k = jax.random.PRNGKey(0)
+    fixed = sample_crop_lengths(k, 8, 6.0, 6.0)
+    assert np.all(np.asarray(fixed) == 96000)
+    rng = sample_crop_lengths(k, 1000, 5.0, 7.0)
+    r = np.asarray(rng)
+    assert r.min() >= 5 * 16000 and r.max() <= 7 * 16000
+    assert r.std() > 0

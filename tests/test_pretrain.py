@@ -1,0 +1,124 @@
+"""End-to-end pretraining step tests on a simulated 8-device mesh.
+
+Substitutes for the reference's missing multi-GPU test story
+(SURVEY.md §4): the full jitted SPMD step — on-device augmentation,
+teacher/student forwards, BYOL loss, AdamW, EMA — must run on a
+('data',) mesh and behave (loss finite and decreasing, teacher EMA
+moving, feature std healthy / non-collapsed).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiossl_tpu.methods.atst.method import ClipPretrainConfig, ClipMethod
+from audiossl_tpu.methods.atstframe.method import (
+    FramePretrainConfig,
+    FrameMethod,
+)
+from audiossl_tpu.models.atst import AudioTransformer
+from audiossl_tpu.parallel import data_mesh, replicate_tree, shard_batch
+from audiossl_tpu.training.pretrain import (
+    Branch,
+    OptimizerConfig,
+    copy_into_structure,
+    ema_update,
+    wd_mask,
+)
+
+OPT = OptimizerConfig(max_steps=50, warmup_steps=5, learning_rate=1e-3)
+B = 16
+
+
+def tiny_encoder(use_cls, spec_w):
+    return AudioTransformer(embed_dim=64, depth=2, num_heads=2, spec_h=64,
+                            spec_w=spec_w, use_cls=use_cls)
+
+
+def make_batch(cfg):
+    wav = np.random.RandomState(0).randn(B, cfg.out_samples).astype(
+        np.float32) * 0.1
+    valid = np.full((B,), cfg.out_samples, np.int32)
+    # vary some lengths to exercise the masked paths
+    valid[::4] = cfg.out_samples // 2
+    return {"wav": wav, "valid": valid}
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return data_mesh()
+
+
+def test_clip_pretrain_step(mesh):
+    cfg = ClipPretrainConfig(arch="small", anchor_len=(1.0, 1.0),
+                             positive_len=(1.0, 1.0), optimizer=OPT)
+    m = ClipMethod(cfg)
+    m.student = Branch(encoder=tiny_encoder(True, cfg.out_frames),
+                       predictor=True, hidden_dim=128, out_dim=32)
+    m.teacher = Branch(encoder=tiny_encoder(True, cfg.out_frames),
+                       predictor=False, hidden_dim=128, out_dim=32)
+    state = replicate_tree(mesh, m.init_state(jax.random.PRNGKey(0)))
+    # teacher starts as an exact copy of the student (sans predictor)
+    t0 = jax.tree.leaves(state.teacher_params)[0]
+    s0 = jax.tree.leaves(
+        copy_into_structure(state.teacher_params, state.params))[0]
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(s0))
+
+    step = jax.jit(m.make_step(), donate_argnums=0)
+    batch = shard_batch(mesh, make_batch(cfg))
+    losses = []
+    for i in range(6):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+    # loss decreases on a repeated batch
+    assert losses[-1] < losses[0]
+    # feature std healthy (no collapse to 0)
+    assert float(metrics["std_cls_t"]) > 1e-3
+    assert float(metrics["std_cls_s"]) > 1e-3
+    assert int(state.step) == 6
+
+
+def test_frame_pretrain_step(mesh):
+    cfg = FramePretrainConfig(arch="small", anchor_len=1.0, optimizer=OPT)
+    m = FrameMethod(cfg)
+    m.student = Branch(encoder=tiny_encoder(False, cfg.out_frames),
+                       projector="mlp", predictor=True, hidden_dim=128,
+                       out_dim=32)
+    m.teacher = Branch(encoder=tiny_encoder(False, cfg.out_frames),
+                       projector="mlp", predictor=False, hidden_dim=128,
+                       out_dim=32)
+    state = replicate_tree(mesh, m.init_state(jax.random.PRNGKey(0)))
+    step = jax.jit(m.make_step(), donate_argnums=0)
+    batch = shard_batch(mesh, make_batch(cfg))
+    losses = []
+    for i in range(6):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0]
+    assert float(metrics["std_frm_tea"]) > 1e-3
+
+
+def test_ema_and_wd_mask():
+    params = {"a": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones((4,))},
+              "predictor": {"kernel": jnp.ones((4, 4))}}
+    teacher = {"a": {"kernel": jnp.zeros((4, 4)),
+                     "bias": jnp.zeros((4,))}}
+    out = ema_update(teacher, params, 0.9)
+    np.testing.assert_allclose(np.asarray(out["a"]["kernel"]), 0.1)
+    assert "predictor" not in out
+    m = wd_mask(params)
+    assert m["a"]["kernel"] is True
+    assert m["a"]["bias"] is False
+
+
+def test_schedules_match_reference_arrays():
+    from audiossl_tpu.training.schedules import (
+        cosine_schedule,
+        cosine_schedule_array,
+    )
+    arr = cosine_schedule_array(5e-4, 1e-6, 100, 10)
+    f = cosine_schedule(5e-4, 1e-6, 100, 10)
+    got = np.array([float(f(i)) for i in range(100)])
+    np.testing.assert_allclose(got, arr, rtol=1e-5)
