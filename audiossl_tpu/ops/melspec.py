@@ -144,14 +144,93 @@ def _frame_signal(wav: jnp.ndarray, length, cfg: MelConfig) -> jnp.ndarray:
     )
 
 
-def power_spectrogram(
+def power_spectrogram_exact(
     wav: jnp.ndarray, length=None, cfg: MelConfig = MelConfig()
 ) -> jnp.ndarray:
-    """Power spectrogram |STFT|^2, shape [B, T, n_freqs]."""
+    """Power spectrogram |STFT|^2, [B, T, n_freqs] — gather-based exact
+    framing (reference semantics). Kept as the golden reference for the
+    fast conv path below and for tiny-batch host-side use; the gather
+    materializes [B, T, win] and is slow on TPU."""
     frames = _frame_signal(wav.astype(jnp.float32), length, cfg)
     frames = frames * hann_window(cfg.win_length)
     spec = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)
     return jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+
+
+@functools.lru_cache(maxsize=4)
+def _dft_filters_np(n_fft: int, win_length: int) -> np.ndarray:
+    """Hann-windowed real-DFT analysis filters [2*n_freqs, win_length]:
+    rows 0..F-1 = cos (real part), rows F..2F-1 = -sin (imag part)."""
+    n = np.arange(win_length)[None, :]
+    k = np.arange(n_fft // 2 + 1)[:, None]
+    ang = 2.0 * np.pi * k * n / n_fft
+    hann = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(win_length)
+                               / win_length))
+    cos = np.cos(ang) * hann[None, :]
+    sin = -np.sin(ang) * hann[None, :]
+    return np.concatenate([cos, sin], 0).astype(np.float32)
+
+
+def power_spectrogram(
+    wav: jnp.ndarray, length=None, cfg: MelConfig = MelConfig()
+) -> jnp.ndarray:
+    """Power spectrogram |STFT|^2, [B, T, n_freqs], MXU-native.
+
+    The STFT is one strided convolution with Hann-windowed DFT filters
+    (im2col+matmul on the MXU) over a statically reflect-padded buffer —
+    ~50 GFLOP for a 48x10s batch instead of a ~200 MB random gather.
+    Per-sample dynamic right-boundary reflect padding (the reference
+    computes mel on each exact-length crop) only affects the few frames
+    whose window crosses ``length``; those are recomputed with the exact
+    gather path and patched in, so the result equals
+    ``power_spectrogram_exact`` to float tolerance (tests/test_melspec).
+    """
+    wav = wav.astype(jnp.float32)
+    B, L = wav.shape
+    pad = cfg.n_fft // 2
+    T = cfg.num_frames(L)
+    # static reflect at both edges (exact for full-length samples; frames
+    # near a shorter sample's dynamic boundary are patched below)
+    left = wav[:, 1: pad + 1][:, ::-1]
+    right = wav[:, L - pad - 1: L - 1][:, ::-1]
+    wavp = jnp.concatenate(
+        [left, wav, right, jnp.zeros((B, cfg.win_length), wav.dtype)],
+        axis=1)
+    filt = jnp.asarray(_dft_filters_np(cfg.n_fft, cfg.win_length))
+    out = jax.lax.conv_general_dilated(
+        wavp[:, None, :], filt[:, None, :],
+        window_strides=(cfg.hop_length,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST)  # [B, 2F, T']
+    out = out[:, :, :T]
+    F = cfg.n_freqs
+    power = out[:, :F, :] ** 2 + out[:, F:, :] ** 2  # [B, F, T]
+    power = jnp.transpose(power, (0, 2, 1))  # [B, T, F]
+
+    if length is None:
+        return power
+
+    # --- boundary fix: frames reading past each sample's valid length
+    length = jnp.asarray(length, jnp.int32)
+    K = 6  # windows crossing the boundary: <= ceil((pad+hop)/hop)+1
+    t0 = jnp.clip((length - (cfg.win_length - pad - cfg.hop_length + 1))
+                  // cfg.hop_length, 0, max(T - K, 0))
+    offs = jnp.arange(cfg.win_length, dtype=jnp.int32)
+    tks = t0[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]  # [B, K]
+    starts = tks * cfg.hop_length - pad  # [B, K]
+    idx = starts[:, :, None] + offs[None, None, :]  # [B, K, win]
+    j = _reflect_index(idx, length[:, None, None])
+    frames = jnp.take_along_axis(wav[:, None, :],
+                                 j.reshape(B, 1, -1), axis=-1)
+    frames = frames.reshape(B, K, cfg.win_length) * hann_window(
+        cfg.win_length)
+    spec = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)
+    fix = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2  # [B, K, F]
+
+    def patch(p, f, t):
+        return jax.lax.dynamic_update_slice(p, f, (t, 0))
+
+    return jax.vmap(patch)(power, fix, t0)
 
 
 def amplitude_to_db(

@@ -1,0 +1,83 @@
+"""Headline benchmark: ATST-Frame BASE pretraining throughput on one chip.
+
+Runs the production train step — on-device mel + augmentation + block
+masking, masked-student/unmasked-teacher 12-block ViT-base forwards,
+BYOL frame loss, AdamW, EMA — on synthetic AudioSet-like 10 s clips and
+reports clips/sec/chip (a "clip" = one 10 s waveform through BOTH
+views, i.e. the reference's per-sample unit of work).
+
+Baseline: the reference repo publishes no throughput numbers
+(BASELINE.md). We compare against the ATST-Frame base recipe's
+per-GPU batch of 144 clips (train_base.sh) at an estimated 1.0 s/step
+on a CUDA GPU with its CPU-DataLoader DSP pipeline — i.e. baseline
+144 clips/sec/GPU. vs_baseline = measured / 144.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "clips/s/chip", "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_CLIPS_PER_SEC = 144.0
+
+
+def main():
+    from audiossl_tpu.methods.atstframe.method import (
+        FramePretrainConfig,
+        FrameMethod,
+    )
+    from audiossl_tpu.training.pretrain import OptimizerConfig
+
+    cfg = FramePretrainConfig(
+        arch="base",
+        anchor_len=10.0,
+        mask_type="block",
+        mask_ratio=0.65,
+        mask_len=5,
+        aug_tea=False,     # train_base.sh: aug_stu only
+        aug_stu=True,
+        optimizer=OptimizerConfig(learning_rate=8e-5, warmup_steps=19900,
+                                  max_steps=398000, ema=0.9996),
+        dtype="bfloat16",
+    )
+    method = FrameMethod(cfg)
+    step = jax.jit(method.make_step(), donate_argnums=0)
+
+    B = 48  # per-chip batch
+    rng = np.random.RandomState(0)
+    wav = jnp.asarray(rng.randn(B, cfg.out_samples).astype(np.float32) * 0.1)
+    valid = jnp.full((B,), cfg.out_samples, jnp.int32)
+    batch = {"wav": wav, "valid": valid}
+
+    state = method.init_state(jax.random.PRNGKey(0))
+
+    # warmup (compile + 2 steps); sync via scalar fetch — on the axon
+    # tunnel block_until_ready can return before execution finishes
+    for _ in range(3):
+        state, metrics = step(state, batch)
+    float(metrics["loss"])
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch)
+    assert jnp.isfinite(jnp.asarray(float(metrics["loss"])))
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = B * iters / dt
+    print(json.dumps({
+        "metric": "atst_frame_base_pretrain_clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -148,3 +148,23 @@ def test_minmax_range(cfg):
     y = np.asarray(M.minmax_scale(x, cfg))
     assert y[0, 0] == pytest.approx(-1.0)
     assert y[0, 1] == pytest.approx(1.0)
+
+
+def test_conv_path_matches_exact_gather_path(cfg):
+    """The MXU conv STFT (+ boundary patch) must equal the gather-based
+    exact framing for mixed valid lengths, inside the valid frames."""
+    n_total = 16000 * 2
+    lengths = np.array([32000, 17000, 9600], np.int32)
+    rng = np.random.RandomState(11)
+    padded = np.zeros((3, n_total), np.float32)
+    for i, l in enumerate(lengths):
+        padded[i, :l] = rng.randn(l) * 0.1
+    import jax
+    fast = np.asarray(M.power_spectrogram(
+        jnp.asarray(padded), jnp.asarray(lengths), cfg))
+    exact = np.asarray(M.power_spectrogram_exact(
+        jnp.asarray(padded), jnp.asarray(lengths), cfg))
+    for i, l in enumerate(lengths):
+        t = int(l) // cfg.hop_length + 1
+        np.testing.assert_allclose(fast[i, :t], exact[i, :t],
+                                   rtol=1e-4, atol=1e-4)
