@@ -64,7 +64,8 @@ class PackedWriter:
 
     def close(self):
         self._f.close()
-        np.save(self.path + ".idx", np.asarray(self._offsets, np.uint64))
+        with open(self.path + ".idx", "wb") as f:
+            np.save(f, np.asarray(self._offsets, np.uint64))
 
     def __enter__(self):
         return self

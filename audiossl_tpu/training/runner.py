@@ -1,0 +1,102 @@
+"""Pretraining run loop: data -> sharded step -> logging -> checkpoints.
+
+Replaces the Lightning Trainer of the reference (``methods/atst/
+train.py:11-49``): one Python loop around the jitted SPMD step, with
+TensorBoard-compatible logging (tensorboardX), periodic orbax
+checkpoints and crash-restart auto-resume. No process groups: the mesh
+is the parallelism.
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from audiossl_tpu.datasets.pipeline import BatchLoader
+from audiossl_tpu.parallel import data_mesh, replicate_tree, shard_batch
+from audiossl_tpu.training.checkpoint import CheckpointManager
+
+
+class MetricLogger:
+    def __init__(self, save_path: Optional[str]):
+        self._tb = None
+        if save_path:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(save_path)
+            except ImportError:
+                pass
+
+    def log(self, step: int, metrics: dict):
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(k, float(v), step)
+
+    def close(self):
+        if self._tb is not None:
+            self._tb.close()
+
+
+def run_pretraining(method, dataset, *, batch_size_per_device: int,
+                    max_steps: int, save_path: Optional[str] = None,
+                    ckpt_interval: int = 5000, log_interval: int = 50,
+                    seed: int = 0, n_devices: Optional[int] = None,
+                    loader_threads: int = 8):
+    """Train `method` (ClipMethod / FrameMethod) on `dataset` until
+    max_steps. Returns the final PretrainState."""
+    mesh = data_mesh(n_devices)
+    n_dev = mesh.shape["data"]
+    global_bs = batch_size_per_device * n_dev
+
+    state = method.init_state(jax.random.PRNGKey(seed))
+    mgr = None
+    if save_path:
+        mgr = CheckpointManager(f"{save_path}/ckpt",
+                                save_interval_steps=ckpt_interval)
+        restored = mgr.restore_latest(state)
+        if restored is not None:
+            state = restored
+            print(f"resumed from step {int(state.step)}")
+    state = replicate_tree(mesh, state)
+
+    step_fn = jax.jit(method.make_step(), donate_argnums=0)
+    logger = MetricLogger(save_path)
+
+    pad = method.cfg.out_samples
+    step = int(jax.device_get(state.step))
+    epoch = 0
+    t0 = time.perf_counter()
+    done = False
+    while not done:
+        loader = BatchLoader(dataset, global_bs, pad_samples=pad,
+                             shuffle=True, seed=seed, epoch=epoch,
+                             num_threads=loader_threads,
+                             include_labels=False)
+        for batch in loader:
+            batch = shard_batch(mesh, batch)
+            state, metrics = step_fn(state, batch)
+            step += 1
+            if step % log_interval == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.perf_counter() - t0
+                m["clips_per_sec"] = global_bs * log_interval / dt
+                t0 = time.perf_counter()
+                logger.log(step, m)
+                print(f"step {step} " + " ".join(
+                    f"{k}={v:.5g}" for k, v in sorted(m.items())),
+                    flush=True)
+            if mgr is not None:
+                mgr.save(step, jax.device_get(state))
+            if step >= max_steps:
+                done = True
+                break
+        epoch += 1
+    if mgr is not None:
+        mgr.save(step, jax.device_get(state), force=True)
+        mgr.wait()
+        mgr.close()
+    logger.close()
+    return state
