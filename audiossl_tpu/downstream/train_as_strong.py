@@ -1,0 +1,113 @@
+"""AudioSet-strong (407-class) SED finetune driver (reference
+``downstream/train_as_strong.py:26-186`` +
+``utils_as_strong/model_as_strong.py:61-325``): strong-only BCE,
+optional per-layer lr scaling (0.75), early stopping on the PSDS-style
+objective with patience 10.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import numpy as np
+import pandas as pd
+
+from audiossl_tpu.datasets import get_dataset
+from audiossl_tpu.datasets.sed import (
+    MixedBatchLoader,
+    dcase_encoder,
+    load_as_strong_labels,
+)
+from audiossl_tpu.downstream.train_dcase import evaluate_test, evaluate_val
+from audiossl_tpu.downstream.train_freeze import load_encoder
+from audiossl_tpu.sed.module import SEDConfig, SEDTask
+
+
+def build_parser():
+    p = argparse.ArgumentParser("train_as_strong")
+    p.add_argument("--pretrained_ckpt_path", required=True)
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--save_path", default=None)
+    p.add_argument("--arch", default="base", choices=["small", "base"])
+    p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--lr_scale", type=float, default=0.75)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--max_epochs", type=int, default=100)
+    p.add_argument("--warmup_epochs", type=int, default=5)
+    p.add_argument("--patience", type=int, default=10)
+    p.add_argument("--median_window", type=int, default=7)
+    p.add_argument("--freeze_mode", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    info = get_dataset("as_strong")
+    enc_mod, enc_params = load_encoder(
+        args.pretrained_ckpt_path, "frame", args.arch, spec_w=1001)
+    labels = load_as_strong_labels(
+        os.path.join(args.data_path, "common_labels.txt"))
+    encoder = dcase_encoder(net_pooling=enc_mod.patch_w, labels=labels)
+
+    train_ds = info.creator(args.data_path, split="train", encoder=encoder)
+    val_ds = info.creator(args.data_path, split="valid", encoder=encoder)
+    test_ds = info.creator(args.data_path, split="test", encoder=encoder)
+
+    train_loader = MixedBatchLoader([train_ds], [args.batch_size])
+    cfg = SEDConfig(num_labels=info.num_labels,
+                    learning_rate=args.learning_rate,
+                    max_epochs=args.max_epochs,
+                    steps_per_epoch=max(len(train_loader), 1),
+                    warmup_epochs=args.warmup_epochs,
+                    median_window=args.median_window,
+                    lr_scale=args.lr_scale,
+                    freeze_mode=args.freeze_mode)
+    task = SEDTask(enc_mod, cfg)
+    state = task.init_state(jax.random.PRNGKey(0), enc_params)
+    step = jax.jit(task.make_train_step(), donate_argnums=0)
+    predict = jax.jit(task.make_predict_fn())
+
+    best_obj, best_state, since = -1.0, jax.device_get(state), 0
+    for epoch in range(args.max_epochs):
+        train_loader.set_epoch(epoch)
+        for batch in train_loader:
+            batch.pop("filenames")
+            state, metrics = step(state, batch)
+        f1, wmap = evaluate_val(
+            task, predict, state, MixedBatchLoader([val_ds], [32],
+                                                   shuffle=False),
+            cfg.median_window)
+        obj = f1
+        print(f"epoch {epoch}: intersection_f1={f1:.4f} "
+              f"loss={float(metrics['loss']):.4f}", flush=True)
+        if obj > best_obj:
+            best_obj, best_state, since = obj, jax.device_get(state), 0
+        else:
+            since += 1
+            if since >= args.patience:  # reference EarlyStopping
+                print(f"early stop at epoch {epoch}")
+                break
+
+    gt = pd.read_csv(os.path.join(args.data_path, "eval/meta.tsv"),
+                     sep="\t")
+    dur_path = os.path.join(args.data_path, "eval/durations.tsv")
+    durations = pd.read_csv(dur_path, sep="\t") if os.path.exists(
+        dur_path) else pd.DataFrame({
+            "filename": gt.filename.unique(),
+            "duration": [cfg.audio_len] * gt.filename.nunique()})
+    result = evaluate_test(task, predict, best_state,
+                           MixedBatchLoader([test_ds], [32],
+                                            shuffle=False),
+                           encoder, cfg, gt, durations)
+    print(json.dumps(result))
+    if args.save_path:
+        os.makedirs(args.save_path, exist_ok=True)
+        with open(os.path.join(args.save_path, "result.json"), "w") as f:
+            json.dump(result, f)
+    return result
+
+
+if __name__ == "__main__":
+    main()

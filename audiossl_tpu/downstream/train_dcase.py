@@ -1,0 +1,160 @@
+"""DCASE SED finetune driver (reference
+``downstream/train_dcase.py:26-175`` + ``utils_dcase/model_dcase.py``).
+
+Train on mixed strong-synthetic/weak batches, monitor the intersection
+F1 + weak F1 objective, and score the test split with PSDS scenario 1
+(dtc/gtc 0.7) and scenario 2 (0.1/0.1, cttc 0.3, alpha_ct 0.5) plus
+collar event-F1.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import numpy as np
+import pandas as pd
+
+from audiossl_tpu.datasets import get_dataset
+from audiossl_tpu.datasets.sed import MixedBatchLoader, dcase_encoder
+from audiossl_tpu.downstream.metrics import mean_average_precision
+from audiossl_tpu.downstream.train_freeze import load_encoder
+from audiossl_tpu.sed.decode import batched_decode_preds, decode_preds
+from audiossl_tpu.sed.metrics import SEDMetrics, clip_avg_f1
+from audiossl_tpu.sed.module import SEDConfig, SEDState, SEDTask
+from audiossl_tpu.sed.psds import compute_psds, event_based_f1
+
+
+def evaluate_val(task, predict, state, loader, median_window):
+    import jax.numpy as jnp
+
+    sed = SEDMetrics(intersection_thd=0.5)
+    weak_scores, weak_targets = [], []
+    for batch in loader:
+        strong, weak = predict(state, batch)
+        y = np.transpose(batch["strong"], (0, 2, 1))[..., :strong.shape[-1]]
+        hard = decode_preds(strong, [0.5], median_window)
+        sed.accumulate(np.asarray(hard), y)
+        weak_scores.append(np.asarray(weak))
+        weak_targets.append((y.sum(-1) > 0).astype(np.float32))
+    f1 = sed.macro_f1()
+    wmap = mean_average_precision(np.concatenate(weak_scores),
+                                  np.concatenate(weak_targets))
+    return f1, wmap
+
+
+def evaluate_test(task, predict, state, loader, encoder, cfg,
+                  ground_truth, durations):
+    thds = np.arange(1 / (cfg.n_test_thresholds * 2), 1,
+                     1 / cfg.n_test_thresholds)
+    buffers = {t: [] for t in thds}
+    buf05 = []
+    for batch in loader:
+        strong, _ = predict(state, batch)
+        dfs = batched_decode_preds(strong, batch["filenames"], encoder,
+                                   thresholds=list(thds),
+                                   median_filter=cfg.median_window)
+        for t in thds:
+            buffers[t].append(dfs[t])
+        buf05.append(batched_decode_preds(
+            strong, batch["filenames"], encoder, thresholds=[0.5],
+            median_filter=cfg.median_window)[0.5])
+    dets = {t: pd.concat(v) if v else pd.DataFrame(
+        columns=["event_label", "onset", "offset", "filename"])
+        for t, v in buffers.items()}
+    d05 = pd.concat(buf05) if buf05 else pd.DataFrame(
+        columns=["event_label", "onset", "offset", "filename"])
+    psds1 = compute_psds(dets, ground_truth, durations,
+                         dtc_threshold=0.7, gtc_threshold=0.7,
+                         alpha_ct=0.0, alpha_st=1.0)
+    psds2 = compute_psds(dets, ground_truth, durations,
+                         dtc_threshold=0.1, gtc_threshold=0.1,
+                         cttc_threshold=0.3, alpha_ct=0.5, alpha_st=1.0)
+    ef1 = event_based_f1(d05, ground_truth)
+    return {"psds1": psds1, "psds2": psds2, "event_f1": ef1}
+
+
+def build_parser():
+    p = argparse.ArgumentParser("train_dcase")
+    p.add_argument("--pretrained_ckpt_path", required=True)
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--save_path", default=None)
+    p.add_argument("--arch", default="base", choices=["small", "base"])
+    p.add_argument("--learning_rate", type=float, default=1e-1)
+    p.add_argument("--batch_size_synth", type=int, default=128)
+    p.add_argument("--batch_size_weak", type=int, default=128)
+    p.add_argument("--max_epochs", type=int, default=100)
+    p.add_argument("--warmup_epochs", type=int, default=10)
+    p.add_argument("--median_window", type=int, default=7)
+    p.add_argument("--freeze_mode", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    info = get_dataset("dcase")
+    enc_mod, enc_params = load_encoder(
+        args.pretrained_ckpt_path, "frame", args.arch, spec_w=1001)
+    encoder = dcase_encoder(net_pooling=enc_mod.patch_w)
+
+    synth, weak = info.creator(args.data_path, split="train",
+                               encoder=encoder)
+    val_ds = info.creator(args.data_path, split="valid", encoder=encoder)
+    test_ds = info.creator(args.data_path, split="test", encoder=encoder)
+
+    train_loader = MixedBatchLoader(
+        [synth, weak], [args.batch_size_synth, args.batch_size_weak])
+    cfg = SEDConfig(num_labels=info.num_labels,
+                    learning_rate=args.learning_rate,
+                    max_epochs=args.max_epochs,
+                    steps_per_epoch=max(len(train_loader), 1),
+                    warmup_epochs=args.warmup_epochs,
+                    median_window=args.median_window,
+                    freeze_mode=args.freeze_mode)
+    task = SEDTask(enc_mod, cfg)
+    state = task.init_state(jax.random.PRNGKey(0), enc_params)
+    step = jax.jit(task.make_train_step(), donate_argnums=0)
+    predict = jax.jit(task.make_predict_fn())
+
+    def eval_loader(ds, bs=32):
+        loader = MixedBatchLoader([ds], [bs], shuffle=False)
+        return loader
+
+    best_obj, best_state = -1.0, jax.device_get(state)
+    for epoch in range(args.max_epochs):
+        train_loader.set_epoch(epoch)
+        for batch in train_loader:
+            fn = batch.pop("filenames")
+            state, metrics = step(state, batch)
+        f1, wmap = evaluate_val(task, predict, state,
+                                eval_loader(val_ds), cfg.median_window)
+        obj = f1 + wmap
+        print(f"epoch {epoch}: intersection_f1={f1:.4f} weak_mAP="
+              f"{wmap:.4f} loss={float(metrics['loss']):.4f}", flush=True)
+        if obj > best_obj:
+            best_obj, best_state = obj, jax.device_get(state)
+
+    # test: PSDS needs ground-truth events + durations
+    gt = pd.read_csv(os.path.join(args.data_path, "strong_val/meta.tsv"),
+                     sep="\t")
+    dur_path = os.path.join(args.data_path, "strong_val/durations.tsv")
+    if os.path.exists(dur_path):
+        durations = pd.read_csv(dur_path, sep="\t")
+    else:
+        durations = pd.DataFrame({
+            "filename": gt.filename.unique(),
+            "duration": [cfg.audio_len] * gt.filename.nunique()})
+    result = evaluate_test(task, predict, best_state,
+                           eval_loader(test_ds), encoder, cfg, gt,
+                           durations)
+    print(json.dumps(result))
+    if args.save_path:
+        os.makedirs(args.save_path, exist_ok=True)
+        with open(os.path.join(args.save_path, "result.json"), "w") as f:
+            json.dump(result, f)
+    return result
+
+
+if __name__ == "__main__":
+    main()
