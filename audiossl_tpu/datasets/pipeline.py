@@ -32,7 +32,7 @@ class BatchLoader:
                  shuffle: bool = True, drop_last: bool = True,
                  seed: int = 0, num_threads: int = 8,
                  prefetch: int = 2, epoch: int = 0,
-                 include_labels: bool = True):
+                 include_labels: bool = True, weights=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.pad_samples = pad_samples
@@ -43,6 +43,11 @@ class BatchLoader:
         self.prefetch = prefetch
         self.epoch = epoch
         self.include_labels = include_labels
+        # per-sample sampling weights (reference WeightedRandomSampler
+        # with replacement for AudioSet finetuning,
+        # downstream/train_finetune.py:48-110)
+        self.weights = None if weights is None else np.asarray(
+            weights, np.float64)
 
     def __len__(self):
         n = len(self.dataset)
@@ -72,10 +77,15 @@ class BatchLoader:
         return batch
 
     def __iter__(self) -> Iterator[dict]:
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            rng = np.random.RandomState(self.seed + self.epoch)
-            rng.shuffle(order)
+        rng = np.random.RandomState(self.seed + self.epoch)
+        if self.weights is not None:
+            p = self.weights / self.weights.sum()
+            order = rng.choice(len(self.dataset), size=len(self.dataset),
+                               replace=True, p=p)
+        else:
+            order = np.arange(len(self.dataset))
+            if self.shuffle:
+                rng.shuffle(order)
         nb = len(self)
         chunks = [order[i * self.batch_size:(i + 1) * self.batch_size]
                   for i in range(nb)]

@@ -1,0 +1,115 @@
+"""MAE and distillation method tests (tiny models, 8-device CPU mesh)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiossl_tpu.methods.distill.method import DistillConfig, DistillMethod
+from audiossl_tpu.methods.mae.method import MAEConfig, MAEMethod, MAEModel
+from audiossl_tpu.models.atst import AudioTransformer
+from audiossl_tpu.models.heads import LinearHead
+from audiossl_tpu.training.pretrain import OptimizerConfig
+
+
+def test_mae_model_reconstruction_shapes():
+    cfg = MAEConfig(anchor_len=1.0, embed_dim=32, depth=2, num_heads=2,
+                    dec_embed_dim=32, dec_depth=1, dec_num_heads=2)
+    model = MAEModel(cfg)
+    mel = jnp.asarray(np.random.RandomState(0).randn(2, 64, cfg.out_frames)
+                      .astype(np.float32))
+    params = model.init({"params": jax.random.PRNGKey(0)}, mel,
+                        jax.random.PRNGKey(1), deterministic=True)["params"]
+    cls, loss = model.apply({"params": params}, mel, jax.random.PRNGKey(2),
+                            deterministic=True)
+    assert cls.shape == (2, 32)
+    assert np.isfinite(float(loss))
+
+
+def test_mae_training_reduces_loss():
+    cfg = MAEConfig(anchor_len=0.5, embed_dim=32, depth=2, num_heads=2,
+                    dec_embed_dim=32, dec_depth=1, dec_num_heads=2,
+                    optimizer=OptimizerConfig(max_steps=50, warmup_steps=2,
+                                              learning_rate=2e-3))
+    method = MAEMethod(cfg)
+    state = method.init_state(jax.random.PRNGKey(0))
+    step = jax.jit(method.make_step(), donate_argnums=0)
+    rng = np.random.RandomState(0)
+    batch = {"wav": rng.randn(8, cfg.out_samples).astype(np.float32) * 0.1,
+             "valid": np.full(8, cfg.out_samples, np.int32)}
+    losses = []
+    for _ in range(8):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_distill_step():
+    cfg = DistillConfig(num_labels=5, max_len=1.0, learning_rate=0.05,
+                        max_epochs=1, steps_per_epoch=4, warmup_epochs=0,
+                        chunk_len=101)
+    # tiny teacher/student stand-ins
+    method = DistillMethod.__new__(DistillMethod)
+    method.cfg = cfg
+    method.teacher = AudioTransformer(embed_dim=32, depth=2, num_heads=2,
+                                      spec_h=64, spec_w=cfg.out_frames,
+                                      use_cls=True)
+    method.student = AudioTransformer(embed_dim=32, depth=2, num_heads=2,
+                                      spec_h=64, spec_w=cfg.out_frames,
+                                      use_cls=False)
+    method.t_head = LinearHead(num_labels=5)
+    method.s_head = LinearHead(num_labels=5)
+    import optax
+    from audiossl_tpu.training.schedules import cosine_schedule
+    method.lr_sched = cosine_schedule(0.05, 1e-6, 4, 0)
+    method.opt = optax.trace(decay=0.9)
+
+    mel0 = jnp.zeros((1, 64, cfg.out_frames))
+    tp = method.teacher.init(jax.random.PRNGKey(0), mel0,
+                             length=jnp.asarray([cfg.out_frames]),
+                             deterministic=True)["params"]
+    method.teacher_params = tp
+    # teacher features are chunked cls+avg of n=1 block -> 2*32 dims
+    thv = method.t_head.init(jax.random.PRNGKey(1), jnp.zeros((2, 64)),
+                             train=False)
+    method.teacher_head_params = thv["params"]
+    method.teacher_head_stats = thv.get("batch_stats", {})
+
+    sp = method.student.init(jax.random.PRNGKey(2), mel0,
+                             length=jnp.asarray([cfg.out_frames]),
+                             deterministic=True)["params"]
+    state = method.init_state(jax.random.PRNGKey(3), sp)
+    step = jax.jit(method.make_step(), donate_argnums=0)
+    rng = np.random.RandomState(0)
+    B = 8
+    batch = {
+        "wav": rng.randn(B, cfg.out_samples).astype(np.float32) * 0.1,
+        "valid": np.full(B, cfg.out_samples, np.int32),
+        "label": (rng.rand(B, 5) > 0.7).astype(np.float32),
+    }
+    losses = []
+    for _ in range(5):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+        assert np.isfinite(losses[-1])
+    # distilling towards the frozen teacher's sigmoid: loss decreases
+    assert losses[-1] < losses[0]
+
+
+def test_weighted_batch_loader(tmp_path):
+    from audiossl_tpu.datasets import PackedAudioDataset, write_synthetic_pack
+    from audiossl_tpu.datasets.pipeline import BatchLoader
+
+    write_synthetic_pack(str(tmp_path), "train", 20, min_s=0.1, max_s=0.2,
+                         num_labels=2)
+    ds = PackedAudioDataset(str(tmp_path), "train")
+    w = np.zeros(20)
+    w[3] = 1.0  # only sample 3 ever drawn
+    loader = BatchLoader(ds, 4, pad_samples=4000, weights=w, seed=0)
+    b = next(iter(loader))
+    ref_wav, _ = ds[3]
+    for i in range(4):
+        n = min(len(ref_wav), 4000)
+        np.testing.assert_allclose(b["wav"][i][:n], ref_wav[:n])
