@@ -70,11 +70,30 @@ def run_pretraining(method, dataset, *, batch_size_per_device: int,
     epoch = 0
     t0 = time.perf_counter()
     done = False
+
+    def make_loader(epoch):
+        # prefer the native C++ batched reader for packed datasets
+        try:
+            from audiossl_tpu.datasets.native import (
+                NativeBatchLoader,
+                get_lib,
+            )
+            from audiossl_tpu.datasets.packed import PackedAudioDataset
+
+            if isinstance(dataset, PackedAudioDataset) and \
+                    get_lib() is not None:
+                return NativeBatchLoader(
+                    dataset, global_bs, pad_samples=pad, shuffle=True,
+                    seed=seed, epoch=epoch, n_threads=loader_threads)
+        except Exception:
+            pass
+        return BatchLoader(dataset, global_bs, pad_samples=pad,
+                           shuffle=True, seed=seed, epoch=epoch,
+                           num_threads=loader_threads,
+                           include_labels=False)
+
     while not done:
-        loader = BatchLoader(dataset, global_bs, pad_samples=pad,
-                             shuffle=True, seed=seed, epoch=epoch,
-                             num_threads=loader_threads,
-                             include_labels=False)
+        loader = make_loader(epoch)
         for batch in loader:
             batch = shard_batch(mesh, batch)
             state, metrics = step_fn(state, batch)

@@ -1,0 +1,52 @@
+"""Native C++ .ards reader: parity with the Python mmap reader."""
+import numpy as np
+import pytest
+
+from audiossl_tpu.datasets import PackedAudioDataset, write_synthetic_pack
+from audiossl_tpu.datasets.native import NativeBatchLoader, NativeReader, get_lib
+
+pytestmark = pytest.mark.skipif(get_lib() is None,
+                                reason="g++ unavailable")
+
+
+@pytest.fixture(scope="module")
+def pack(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pack"))
+    write_synthetic_pack(path, "train", 12, min_s=0.3, max_s=0.8,
+                         num_labels=4, seed=7)
+    return path
+
+
+def test_native_matches_python_reader(pack):
+    ds = PackedAudioDataset(pack, "train")
+    nr = NativeReader(ds.reader.path)
+    assert len(nr) == len(ds.reader)
+    pad = 16000
+    idx = np.arange(len(nr))
+    wav, valid = nr.read_batch(idx, pad, n_threads=4)
+    for i in idx:
+        ref, _, _ = ds.reader.read(int(i))
+        n = min(len(ref), pad)
+        assert valid[i] == n
+        np.testing.assert_allclose(wav[i, :n], ref[:n], atol=1e-7)
+        assert np.all(wav[i, n:] == 0)
+        assert nr.num_samples(int(i)) == len(ref)
+
+
+def test_native_batch_loader(pack):
+    ds = PackedAudioDataset(pack, "train", subset=6)
+    loader = NativeBatchLoader(ds, batch_size=4, pad_samples=8000,
+                               seed=1)
+    batches = list(loader)
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["wav"].shape == (4, 8000)
+    assert b["wav"].dtype == np.float32
+    assert (b["valid"] > 0).all()
+
+
+def test_native_rejects_bad_index(pack):
+    ds = PackedAudioDataset(pack, "train")
+    nr = NativeReader(ds.reader.path)
+    with pytest.raises(IOError):
+        nr.read_batch(np.array([len(nr) + 5]), 100)
