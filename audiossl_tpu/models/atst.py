@@ -245,6 +245,19 @@ class AudioTransformer(nn.Module):
         return frames, sel
 
     # ----------------------------- inference paths ------------------- #
+    def get_last_selfattention(self, mel, length=None):
+        """Softmax attention maps of the last block [B, H, N, N]
+        (reference audio_transformer.py:223-233, DINO-style attention
+        visualization)."""
+        x, plen = self.prepare_tokens(mel, length, None, False, True)
+        attn_mask = None
+        lengths = self._attn_lengths(plen)
+        if lengths is not None:
+            attn_mask = length_to_attn_mask(lengths, x.shape[1])
+        for blk in self.blocks[:-1]:
+            x = blk(x, attn_mask, True)
+        return self.blocks[-1](x, attn_mask, True, return_attention=True)
+
     def get_intermediate_layers(self, mel, length=None, n=1, scene=True,
                                 deterministic=True):
         """Frame-level downstream/embedding API

@@ -44,7 +44,8 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_mask=None, deterministic=True):
+    def __call__(self, x, attn_mask=None, deterministic=True,
+                 return_attention=False):
         B, N, C = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim ** -0.5
@@ -56,6 +57,8 @@ class Attention(nn.Module):
         if attn_mask is not None:
             attn = attn + attn_mask.astype(attn.dtype)
         attn = jax.nn.softmax(attn, axis=-1)
+        if return_attention:
+            return attn
         if self.attn_drop > 0:
             attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
@@ -105,8 +108,16 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_mask=None, deterministic=True):
+    def __call__(self, x, attn_mask=None, deterministic=True,
+                 return_attention=False):
         y = nn.LayerNorm(epsilon=self.eps, name="norm1")(x)
+        if return_attention:
+            # reference Block.forward(return_attention=True)
+            # (modules/transformer.py:124-133): the softmax attention map
+            return Attention(self.dim, self.num_heads, self.qkv_bias,
+                             self.attn_drop, self.drop, dtype=self.dtype,
+                             name="attn")(y, attn_mask, deterministic,
+                                          return_attention=True)
         y = Attention(self.dim, self.num_heads, self.qkv_bias, self.attn_drop,
                       self.drop, dtype=self.dtype, name="attn")(
             y, attn_mask, deterministic)
