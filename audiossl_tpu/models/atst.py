@@ -118,7 +118,7 @@ class AudioTransformer(nn.Module):
                   dpr[i], self.eps, self.dtype, name=f"blocks_{i}")
             for i in range(self.depth)
         ]
-        self.norm = nn.LayerNorm(epsilon=self.eps, name="norm")
+        self.norm = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm")
 
     # ------------------------------------------------------------------ #
     def _interpolated_pos(self, n_tokens: int, h: int, w: int):

@@ -26,18 +26,25 @@ from audiossl_tpu.models.norm import BatchNorm1d
 
 class MLPHead(nn.Module):
     """Linear(no bias) -> BN -> ReLU -> Linear(no bias)
-    (reference build_mlp(2, in, 4096, out, last_bn=False))."""
+    (reference build_mlp(2, in, 4096, out, last_bn=False)).
+
+    Matmuls run in ``dtype`` (bf16 on TPU); the BatchNorm statistics
+    stay f32 for stability."""
     hidden_dim: int = 4096
     out_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True, mask=None):
-        x = nn.Dense(self.hidden_dim, use_bias=False, name="fc0")(x)
+        x = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
+                     name="fc0")(x)
         x = BatchNorm1d(self.hidden_dim, affine=True, name="bn0")(
-            x, use_running_average=not train, mask=mask)
+            x.astype(jnp.float32), use_running_average=not train,
+            mask=mask)
         x = nn.relu(x)
-        x = nn.Dense(self.out_dim, use_bias=False, name="fc1")(x)
-        return x
+        x = nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
+                     name="fc1")(x)
+        return x.astype(jnp.float32)
 
 
 class Projector(nn.Module):
@@ -47,17 +54,19 @@ class Projector(nn.Module):
     predictor: bool = True
     hidden_dim: int = 4096
     out_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True, mask=None):
         if self.projector == "mlp":
-            x = MLPHead(self.hidden_dim, self.out_dim, name="projector")(
-                x, train, mask)
+            x = MLPHead(self.hidden_dim, self.out_dim, dtype=self.dtype,
+                        name="projector")(x, train, mask)
         elif self.projector == "linear":
-            x = nn.Dense(self.embed_dim, name="projector_linear")(x)
+            x = nn.Dense(self.embed_dim, dtype=self.dtype,
+                         name="projector_linear")(x)
         if self.predictor:
-            x = MLPHead(self.hidden_dim, self.out_dim, name="predictor")(
-                x, train, mask)
+            x = MLPHead(self.hidden_dim, self.out_dim, dtype=self.dtype,
+                        name="predictor")(x, train, mask)
         return x
 
 

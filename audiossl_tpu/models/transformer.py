@@ -110,7 +110,7 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, attn_mask=None, deterministic=True,
                  return_attention=False):
-        y = nn.LayerNorm(epsilon=self.eps, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
         if return_attention:
             # reference Block.forward(return_attention=True)
             # (modules/transformer.py:124-133): the softmax attention map
@@ -125,7 +125,7 @@ class Block(nn.Module):
             y = drop_path(y, self.drop_path_rate, deterministic,
                           self.make_rng("droppath"))
         x = x + y
-        y = nn.LayerNorm(epsilon=self.eps, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm2")(x)
         y = Mlp(self.dim, int(self.dim * self.mlp_ratio), self.drop,
                 dtype=self.dtype, name="mlp")(y, deterministic)
         if self.drop_path_rate > 0 and not deterministic:

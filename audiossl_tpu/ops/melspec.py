@@ -171,46 +171,44 @@ def _dft_filters_np(n_fft: int, win_length: int) -> np.ndarray:
     return np.concatenate([cos, sin], 0).astype(np.float32)
 
 
-def power_spectrogram(
-    wav: jnp.ndarray, length=None, cfg: MelConfig = MelConfig()
-) -> jnp.ndarray:
-    """Power spectrogram |STFT|^2, [B, T, n_freqs], MXU-native.
-
-    The STFT is one strided convolution with Hann-windowed DFT filters
-    (im2col+matmul on the MXU) over a statically reflect-padded buffer —
-    ~50 GFLOP for a 48x10s batch instead of a ~200 MB random gather.
-    Per-sample dynamic right-boundary reflect padding (the reference
-    computes mel on each exact-length crop) only affects the few frames
-    whose window crosses ``length``; those are recomputed with the exact
-    gather path and patched in, so the result equals
-    ``power_spectrogram_exact`` to float tolerance (tests/test_melspec).
-    """
+def stft_conv(wav: jnp.ndarray, cfg: MelConfig = MelConfig()
+              ) -> jnp.ndarray:
+    """Real/imag STFT [B, 2F, T] as ONE strided convolution with
+    Hann-windowed DFT filters (im2col+matmul on the MXU) over a
+    statically reflect-padded buffer — ~50 GFLOP for a 48x10 s batch
+    instead of a ~200 MB random gather. Rows 0..F-1 are the real part,
+    rows F..2F-1 the imaginary part."""
     wav = wav.astype(jnp.float32)
     B, L = wav.shape
     pad = cfg.n_fft // 2
     T = cfg.num_frames(L)
     # static reflect at both edges (exact for full-length samples; frames
-    # near a shorter sample's dynamic boundary are patched below)
+    # near a shorter sample's dynamic boundary are patched by callers)
     left = wav[:, 1: pad + 1][:, ::-1]
     right = wav[:, L - pad - 1: L - 1][:, ::-1]
     wavp = jnp.concatenate(
         [left, wav, right, jnp.zeros((B, cfg.win_length), wav.dtype)],
         axis=1)
     filt = jnp.asarray(_dft_filters_np(cfg.n_fft, cfg.win_length))
+    # HIGH (3-pass bf16) keeps the end-to-end normalized-mel error at
+    # ~4e-4 (< the 1e-3 parity budget) at ~0.6x the HIGHEST-cost conv;
+    # on CPU both lower to full f32 so the golden tests are exact.
     out = jax.lax.conv_general_dilated(
         wavp[:, None, :], filt[:, None, :],
         window_strides=(cfg.hop_length,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST)  # [B, 2F, T']
-    out = out[:, :, :T]
-    F = cfg.n_freqs
-    power = out[:, :F, :] ** 2 + out[:, F:, :] ** 2  # [B, F, T]
-    power = jnp.transpose(power, (0, 2, 1))  # [B, T, F]
+        precision=jax.lax.Precision.HIGH)  # [B, 2F, T']
+    return out[:, :, :T]
 
-    if length is None:
-        return power
 
-    # --- boundary fix: frames reading past each sample's valid length
+def _boundary_power_fix(wav: jnp.ndarray, length, cfg: MelConfig):
+    """Exact power [B, K, F] of the few frames whose analysis window
+    crosses each sample's dynamic valid-length boundary (per-sample
+    reflect padding, the reference computes mel on exact-length crops),
+    plus their start frame t0 [B]."""
+    B, L = wav.shape
+    pad = cfg.n_fft // 2
+    T = cfg.num_frames(L)
     length = jnp.asarray(length, jnp.int32)
     K = 6  # windows crossing the boundary: <= ceil((pad+hop)/hop)+1
     t0 = jnp.clip((length - (cfg.win_length - pad - cfg.hop_length + 1))
@@ -220,12 +218,29 @@ def power_spectrogram(
     starts = tks * cfg.hop_length - pad  # [B, K]
     idx = starts[:, :, None] + offs[None, None, :]  # [B, K, win]
     j = _reflect_index(idx, length[:, None, None])
-    frames = jnp.take_along_axis(wav[:, None, :],
+    frames = jnp.take_along_axis(wav.astype(jnp.float32)[:, None, :],
                                  j.reshape(B, 1, -1), axis=-1)
     frames = frames.reshape(B, K, cfg.win_length) * hann_window(
         cfg.win_length)
     spec = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)
     fix = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2  # [B, K, F]
+    return fix, t0
+
+
+def power_spectrogram(
+    wav: jnp.ndarray, length=None, cfg: MelConfig = MelConfig()
+) -> jnp.ndarray:
+    """Power spectrogram |STFT|^2, [B, T, n_freqs], MXU-native: conv
+    STFT + per-sample boundary patch; equals
+    ``power_spectrogram_exact`` to float tolerance (tests/test_melspec).
+    """
+    out = stft_conv(wav, cfg)
+    F = cfg.n_freqs
+    power = out[:, :F, :] ** 2 + out[:, F:, :] ** 2  # [B, F, T]
+    power = jnp.transpose(power, (0, 2, 1))  # [B, T, F]
+    if length is None:
+        return power
+    fix, t0 = _boundary_power_fix(wav, length, cfg)
 
     def patch(p, f, t):
         return jax.lax.dynamic_update_slice(p, f, (t, 0))
@@ -268,32 +283,70 @@ def minmax_scale(x: jnp.ndarray, cfg: MelConfig = MelConfig()) -> jnp.ndarray:
     return (x - cfg.mel_min) / (cfg.mel_max - cfg.mel_min) * 2.0 - 1.0
 
 
+def _topdb_minmax(db: jnp.ndarray, cfg: MelConfig, valid, normalize: bool):
+    """Shared epilogue: per-sample top_db clamp (+ MinMax)."""
+    if cfg.top_db is not None:
+        if valid is not None:
+            mask = jnp.arange(db.shape[-1])[None, None, :] < \
+                valid[:, None, None]
+            masked = jnp.where(mask, db, -jnp.inf)
+        else:
+            masked = db
+        max_db = jnp.max(masked, axis=(1, 2), keepdims=True)
+        db = jnp.maximum(db, max_db - cfg.top_db)
+    if normalize:
+        db = minmax_scale(db, cfg)
+    return db
+
+
 def log_melspec(
     wav: jnp.ndarray,
     length=None,
     cfg: MelConfig = MelConfig(),
     normalize: bool = True,
+    use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Waveform [B, L] (+ optional valid sample counts [B]) → normalized
     log-mel spectrogram [B, n_mels, T], T = 1 + L // hop.
 
     Equivalent to the reference chain MelSpectrogram → AmplitudeToDB →
-    MinMax applied per exact-length crop.
+    MinMax applied per exact-length crop. On TPU the power→mel→dB
+    postprocess runs as one fused Pallas kernel (ops/pallas_mel.py);
+    set ``use_pallas`` to force either path.
     """
     if wav.ndim == 1:
         wav = wav[None]
-    power = power_spectrogram(wav, length, cfg)  # [B, T, F]
-    mel = jnp.einsum(
-        "btf,fm->btm", power, mel_filterbank(cfg), preferred_element_type=jnp.float32
-    )
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     valid = None
     if length is not None:
         valid = jnp.asarray(length, dtype=jnp.int32) // cfg.hop_length + 1
+
+    if use_pallas:
+        from audiossl_tpu.ops.pallas_mel import stft_to_mel_db
+
+        stft = stft_conv(wav, cfg)  # [B, 2F, T]
+        db = stft_to_mel_db(stft, mel_filterbank(cfg), amin=cfg.amin)
+        if length is not None:
+            fix_p, t0 = _boundary_power_fix(wav, length, cfg)
+            fix_mel = jnp.einsum(
+                "bkf,fm->bmk", fix_p, mel_filterbank(cfg),
+                preferred_element_type=jnp.float32)
+            fix_db = 10.0 * jnp.log10(jnp.maximum(fix_mel, cfg.amin))
+
+            def patch(d, f, t):
+                return jax.lax.dynamic_update_slice(d, f, (0, t))
+
+            db = jax.vmap(patch)(db, fix_db, t0)
+        return _topdb_minmax(db, cfg, valid, normalize)
+
+    power = power_spectrogram(wav, length, cfg)  # [B, T, F]
+    mel = jnp.einsum(
+        "btf,fm->btm", power, mel_filterbank(cfg),
+        preferred_element_type=jnp.float32)
     mel = jnp.transpose(mel, (0, 2, 1))  # [B, n_mels, T]
-    db = amplitude_to_db(mel, cfg, valid_frames=valid, frame_axis=-1)
-    if normalize:
-        db = minmax_scale(db, cfg)
-    return db
+    db = 10.0 * jnp.log10(jnp.maximum(mel, cfg.amin))
+    return _topdb_minmax(db, cfg, valid, normalize)
 
 
 def mel_frame_count(num_samples, hop_length: int = 160):

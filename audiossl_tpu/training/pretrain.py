@@ -49,6 +49,7 @@ class Branch(nn.Module):
             predictor=self.predictor,
             hidden_dim=self.hidden_dim,
             out_dim=self.out_dim,
+            dtype=self.encoder.dtype,
             name="head",
         )
 
