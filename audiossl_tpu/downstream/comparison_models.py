@@ -1,0 +1,136 @@
+"""Uniform encoder-adapter interface for downstream SED/classification
+drivers (reference ``downstream/comparison_models/*_module.py`` — 11
+adapters exposing ``forward(batch) -> frame_embeddings``, ``transform``,
+``freeze()/finetune_mode()``).
+
+Adapters for this framework's own model families are provided
+(clip-ATST, frame-ATST, distilled frame-ATST). The reference
+additionally vendors ~7k LoC of third-party torch encoders (SSAST,
+BEATs, AudioMAE, BYOL-A, M2D, MAE-AST) purely for paper comparisons;
+those are external checkpoints with their own licenses and are NOT
+re-implemented here — ``register_adapter`` is the extension point for
+plugging any encoder with the same surface into train_dcase /
+train_as_strong / train_freeze.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from audiossl_tpu.models.atst import AudioTransformer
+from audiossl_tpu.ops.melspec import MelConfig, log_melspec
+
+_ADAPTERS: Dict[str, Callable] = {}
+
+
+def register_adapter(name: str):
+    def deco(fn):
+        _ADAPTERS[name] = fn
+        return fn
+    return deco
+
+
+def get_adapter(name: str, **kw):
+    if name not in _ADAPTERS:
+        raise KeyError(
+            f"unknown encoder adapter {name!r}; available: "
+            f"{sorted(_ADAPTERS)}")
+    return _ADAPTERS[name](**kw)
+
+
+def list_adapters():
+    return sorted(_ADAPTERS)
+
+
+@dataclasses.dataclass
+class EncoderAdapter:
+    """forward(wav, valid) -> frame embeddings [B, T', D]."""
+    encoder: AudioTransformer
+    params: dict
+    mel: MelConfig = dataclasses.field(default_factory=MelConfig)
+    frozen: bool = True
+
+    @property
+    def embed_dim(self):
+        return self.encoder.embed_dim
+
+    @property
+    def frame_rate_divisor(self):
+        return self.encoder.patch_w
+
+    def frame_embeddings(self, params, wav, valid, train=False,
+                         rngs=None):
+        spec = log_melspec(wav, valid, self.mel)
+        length = valid // self.mel.hop_length + 1
+        if self.encoder.use_cls:
+            # clip model: drop the CLS token, keep frame tokens
+            x, plen = self.encoder.apply(
+                {"params": params}, spec, length,
+                method=self.encoder.prepare_tokens)
+            out = self.encoder.apply(
+                {"params": params}, spec, length, n=1, scene=False,
+                deterministic=not train, rngs=rngs,
+                method=self.encoder.get_intermediate_layers)
+            return out
+        return self.encoder.apply(
+            {"params": params}, spec, length, n=1, scene=False,
+            deterministic=not train, rngs=rngs,
+            method=self.encoder.get_intermediate_layers)
+
+
+@register_adapter("frameatst")
+def _frame_atst(ckpt_path: str, arch: str = "base", **kw):
+    from audiossl_tpu.downstream.train_freeze import load_encoder
+
+    enc, params = load_encoder(ckpt_path, "frame", arch, spec_w=1001)
+    return EncoderAdapter(encoder=enc, params=params, **kw)
+
+
+@register_adapter("clipatst")
+def _clip_atst(ckpt_path: str, arch: str = "base", **kw):
+    """Clip-level ATST as a frame encoder: CLS sliced off (reference
+    clip_atst_module.py:19-29)."""
+    from audiossl_tpu.downstream.train_freeze import load_encoder
+
+    enc, params = load_encoder(ckpt_path, "clip", arch, spec_w=1001)
+    return EncoderAdapter(encoder=enc, params=params, **kw)
+
+
+@register_adapter("distillatst")
+def _distill_atst(ckpt_path: str, arch: str = "base", **kw):
+    from audiossl_tpu.downstream.train_freeze import load_encoder
+
+    enc, params = load_encoder(ckpt_path, "frame", arch, spec_w=1001,
+                               which="student")
+    return EncoderAdapter(encoder=enc, params=params, **kw)
+
+
+class EnsembleModel:
+    """Average clip+frame classifier logits (working version of the
+    reference's dead ensemble code, downstream/ensemble.py)."""
+
+    def __init__(self, predict_fns):
+        self.predict_fns = list(predict_fns)
+
+    def __call__(self, *args, **kw):
+        logits = [f(*args, **kw) for f in self.predict_fns]
+        return sum(logits) / len(logits)
+
+
+def cal_norm(extract_fn, loader):
+    """Embedding mean/std over a dataset (reference
+    downstream/cal_norm.py)."""
+    import numpy as np
+
+    total, total_sq, n = 0.0, 0.0, 0
+    for batch in loader:
+        e = np.asarray(extract_fn(batch["wav"], batch["valid"]))
+        total = total + e.sum(0)
+        total_sq = total_sq + (e ** 2).sum(0)
+        n += len(e)
+    mean = total / n
+    std = np.sqrt(np.maximum(total_sq / n - mean ** 2, 0.0))
+    return mean, std
