@@ -1,0 +1,129 @@
+"""Pallas TPU fused attention for short sequences (<=1024 tokens).
+
+ATST attention is tiny (250 tokens at 10 s audio, head_dim 64), so the
+classic flash-attention tiling is unnecessary — but XLA still
+materializes the [B, H, N, N] probability tensor in HBM between the
+QK^T, softmax and AV ops (~150 MB per direction per layer for a 96x250
+batch). This kernel computes the whole softmax(QK^T + mask)V in VMEM
+per (batch*head) grid cell, with a custom VJP that recomputes the
+probabilities in the backward kernel instead of storing them.
+
+Semantics match ``models/transformer.Attention`` exactly (additive
+-10000 key mask, f32 softmax); used when attention dropout is off and
+no attention map is requested.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale):
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # [N, N]
+    s = s + m_ref[0]
+    p = jax.nn.softmax(s, axis=-1)
+    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, m_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, scale):
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    s = s + m_ref[0]
+    p = jax.nn.softmax(s, axis=-1)  # [N, N]
+    dv_ref[0] = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # p^T do
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # do v^T
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq_ref[0] = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    dk_ref[0] = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # ds^T q
+
+
+def _pad_n(x, n_pad):
+    if n_pad:
+        return jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)))
+    return x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_attention(q, k, v, mask, scale, interpret=False):
+    """q/k/v: [R, N, d] (R = batch*heads), mask: [R, N] additive key
+    mask (0 or MASK_VALUE). -> [R, N, d] f32."""
+    out, _ = _fused_fwd(q, k, v, mask, scale, interpret)
+    return out
+
+
+def _call(kernel, n_out, R, N, D, interpret, *args):
+    specs = [pl.BlockSpec((1, N, D), lambda r: (r, 0, 0),
+                          memory_space=pltpu.VMEM)] * 3 + [
+        pl.BlockSpec((1, 1, N), lambda r: (r, 0, 0),
+                     memory_space=pltpu.VMEM)]
+    extra_in = len(args) - 4
+    specs += [pl.BlockSpec((1, N, D), lambda r: (r, 0, 0),
+                           memory_space=pltpu.VMEM)] * extra_in
+    out_spec = pl.BlockSpec((1, N, D), lambda r: (r, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((R, N, D), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(R,),
+        in_specs=specs,
+        out_specs=out_spec if n_out == 1 else (out_spec,) * n_out,
+        out_shape=out_shape if n_out == 1 else (out_shape,) * n_out,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * R * N * N * D,
+            bytes_accessed=R * N * D * 4 * (4 + n_out) + R * N * N * 0,
+            transcendentals=R * N * N,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def _prep(q, k, v, mask):
+    R, N, D = q.shape
+    n_pad = (-N) % 128
+    qp, kp, vp = (_pad_n(x, n_pad) for x in (q, k, v))
+    # padded keys masked out; padded query rows are sliced off after
+    mp = jnp.pad(mask, ((0, 0), (0, n_pad)), constant_values=-1e9)
+    return qp, kp, vp, mp[:, None, :], N, N + n_pad, D
+
+
+def _fused_fwd(q, k, v, mask, scale, interpret):
+    R = q.shape[0]
+    qp, kp, vp, mp, N, Np, D = _prep(q, k, v, mask)
+    out = _call(functools.partial(_fwd_kernel, scale=scale), 1,
+                R, Np, D, interpret, qp, kp, vp, mp)
+    return out[:, :N], (q, k, v, mask)
+
+
+def _fused_bwd(scale, interpret, res, g):
+    q, k, v, mask = res
+    R = q.shape[0]
+    qp, kp, vp, mp, N, Np, D = _prep(q, k, v, mask)
+    gp = _pad_n(g, Np - N)
+    dq, dk, dv = _call(functools.partial(_bwd_kernel, scale=scale), 3,
+                       R, Np, D, interpret, qp, kp, vp, mp, gp)
+    return (dq[:, :N].astype(q.dtype), dk[:, :N].astype(k.dtype),
+            dv[:, :N].astype(v.dtype), None)
+
+
+fused_attention.defvjp(_fused_fwd, _fused_bwd)

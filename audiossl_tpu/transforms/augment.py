@@ -98,6 +98,29 @@ def min_max(x, lo, hi):
     return (x - lo) / (hi - lo) * 2.0 - 1.0
 
 
+def pad_to_size(wav, size: int, centered: bool = False):
+    """Zero-pad the last axis to `size` (reference common.py PadToSize);
+    longer inputs are cropped (left-aligned, or centered)."""
+    n = wav.shape[-1]
+    if n >= size:
+        if centered:
+            s = (n - size) // 2
+            return wav[..., s: s + size]
+        return wav[..., :size]
+    pad = size - n
+    if centered:
+        return jnp.pad(wav, [(0, 0)] * (wav.ndim - 1)
+                       + [(pad // 2, pad - pad // 2)])
+    return jnp.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(0, pad)])
+
+
+def to_size_n(wav, n: int):
+    """Pad/crop to the nearest multiple of n above the current length
+    (reference common.py ToSizeN)."""
+    size = ((wav.shape[-1] + n - 1) // n) * n
+    return pad_to_size(wav, size)
+
+
 # --------------------------------------------------------------------- #
 # spectrogram-level
 # --------------------------------------------------------------------- #
