@@ -20,6 +20,29 @@ from audiossl_tpu.datasets import get_dataset
 from audiossl_tpu.datasets.pipeline import BatchLoader
 
 
+class ConcatDataset:
+    """Minimal torch-style dataset concatenation."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self._offsets = []
+        total = 0
+        for d in self.datasets:
+            total += len(d)
+            self._offsets.append(total)
+
+    def __len__(self):
+        return self._offsets[-1] if self._offsets else 0
+
+    def __getitem__(self, i):
+        prev = 0
+        for d, off in zip(self.datasets, self._offsets):
+            if i < off:
+                return d[i - prev]
+            prev = off
+        raise IndexError(i)
+
+
 @dataclasses.dataclass
 class DownstreamDataModule:
     data_path: str
@@ -35,8 +58,20 @@ class DownstreamDataModule:
         self.pad_samples = int(self.train_len_s * self.sr)
 
     def _loader(self, split: str, shuffle: bool) -> BatchLoader:
+        import os
+
         kw = dict(fold=self.fold) if self.info.num_folds > 1 else {}
         ds = self.info.creator(self.data_path, split=split, **kw)
+        if (self.dataset_name == "audioset" and split == "train"):
+            # reference concatenates unbalanced + balanced train sets
+            # (lightning/datamodules.py:173-182)
+            b_path = os.path.join(self.data_path, "../audioset_b")
+            if os.path.exists(os.path.join(b_path, "train.ards")):
+                from audiossl_tpu.datasets import get_dataset
+
+                ds = ConcatDataset([
+                    ds, get_dataset("audioset_b").creator(b_path,
+                                                          split="train")])
         return BatchLoader(ds, self.batch_size,
                            pad_samples=self.pad_samples,
                            shuffle=shuffle, drop_last=shuffle,

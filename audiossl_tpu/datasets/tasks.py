@@ -71,18 +71,17 @@ class Nsynth(_WavDataset):
 
 class Urbansound8k(_WavDataset):
     """US8K 10-fold (reference byol_a.py:212-251): fold from the path
-    'audio/foldXX/...'; split = ('train'|'valid'|'test', fold)."""
+    'audio/foldXX/...'; train = the 9 other folds, valid == test == the
+    held-out fold (the reference evaluates on the same fold it selects
+    on in the n-fold loop)."""
 
     def __init__(self, root: str, meta_dir: str, split: str = "train",
                  fold: int = 0, **kw):
         df = _read_task_df(meta_dir, "us8k")
         df["fold"] = df.file_name.map(lambda s: int(s.split("/")[1][4:]) - 1)
-        nf = 10
         if split == "train":
-            sel = df[(df.fold != fold) & (df.fold != (fold + 1) % nf)]
-        elif split in ("valid", "val"):
-            sel = df[df.fold == (fold + 1) % nf]
-        else:
+            sel = df[df.fold != fold]
+        else:  # valid/test: the held-out fold
             sel = df[df.fold == fold]
         files = [os.path.join(root, f) for f in sel.file_name]
         super().__init__(files, sel.label.values.tolist(), **kw)
