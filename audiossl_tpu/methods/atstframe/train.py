@@ -60,6 +60,8 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt_interval", type=int, default=5000)
     p.add_argument("--n_devices", type=int, default=None)
+    p.add_argument("--clip_len", type=float, default=10.0,
+                   help="host buffer seconds (full clip length)")
     return p
 
 
@@ -94,7 +96,7 @@ def main(argv=None):
         batch_size_per_device=args.batch_size_per_device,
         max_steps=args.max_steps, save_path=args.save_path,
         ckpt_interval=args.ckpt_interval, seed=args.seed,
-        n_devices=args.n_devices)
+        n_devices=args.n_devices, clip_len_s=args.clip_len)
 
 
 if __name__ == "__main__":

@@ -44,7 +44,8 @@ def run_pretraining(method, dataset, *, batch_size_per_device: int,
                     max_steps: int, save_path: Optional[str] = None,
                     ckpt_interval: int = 5000, log_interval: int = 50,
                     seed: int = 0, n_devices: Optional[int] = None,
-                    loader_threads: int = 8):
+                    loader_threads: int = 8,
+                    clip_len_s: Optional[float] = None):
     """Train `method` (ClipMethod / FrameMethod) on `dataset` until
     max_steps. Returns the final PretrainState."""
     mesh = data_mesh(n_devices)
@@ -65,7 +66,13 @@ def run_pretraining(method, dataset, *, batch_size_per_device: int,
     step_fn = jax.jit(method.make_step(), donate_argnums=0)
     logger = MetricLogger(save_path)
 
-    pad = method.cfg.out_samples
+    # the host buffer must cover the full clip (AudioSet clips are 10 s)
+    # so the on-device random crop sees all of it — not just the crop
+    # width (the reference crops the full waveform, transform.py:50-60)
+    if clip_len_s is not None:
+        pad = max(int(clip_len_s * 16000), method.cfg.out_samples)
+    else:
+        pad = max(10 * 16000, method.cfg.out_samples)
     step = int(jax.device_get(state.step))
     epoch = 0
     t0 = time.perf_counter()

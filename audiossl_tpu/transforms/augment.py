@@ -59,6 +59,14 @@ def random_crop_wav(key, wav: jnp.ndarray, valid: jnp.ndarray,
     """
     B, L = wav.shape
     crop_len = jnp.minimum(crop_len, out_len)
+    out_valid = jnp.minimum(crop_len, valid)
+    if out_len == L:
+        # buffer width == crop width: the only feasible start is 0 —
+        # skip the per-sample gather entirely (the common frame-method
+        # case: 10 s anchors over 10 s buffers)
+        pos = jnp.arange(out_len)[None, :]
+        crops = jnp.where(pos < out_valid[:, None], wav, 0.0)
+        return crops, out_valid
     max_start = jnp.maximum(valid - crop_len, 0)
     u = jax.random.uniform(key, (B,))
     start = (u * (max_start + 1).astype(jnp.float32)).astype(jnp.int32)
@@ -70,7 +78,6 @@ def random_crop_wav(key, wav: jnp.ndarray, valid: jnp.ndarray,
     # guard: dynamic_slice clamps automatically, but keep start in range
     start = jnp.clip(start, 0, jnp.maximum(L - out_len, 0))
     crops = jax.vmap(take)(wav, start)
-    out_valid = jnp.minimum(crop_len, valid)
     # zero out anything past the crop's own valid region
     pos = jnp.arange(out_len)[None, :]
     crops = jnp.where(pos < out_valid[:, None], crops, 0.0)
