@@ -114,7 +114,9 @@ def run_pretraining(method, dataset, *, batch_size_per_device: int,
                 print(f"step {step} " + " ".join(
                     f"{k}={v:.5g}" for k, v in sorted(m.items())),
                     flush=True)
-            if mgr is not None:
+            if mgr is not None and step % ckpt_interval == 0:
+                # device_get only when actually saving — pulling the
+                # full state to host every step would dominate
                 mgr.save(step, jax.device_get(state))
             if step >= max_steps:
                 done = True
