@@ -59,11 +59,11 @@ def main():
 
     # warmup (compile + 2 steps); sync via scalar fetch — on the axon
     # tunnel block_until_ready can return before execution finishes
-    for _ in range(3):
+    for _ in range(5):
         state, metrics = step(state, batch)
     float(metrics["loss"])
 
-    iters = 20
+    iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch)
