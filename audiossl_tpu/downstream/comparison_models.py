@@ -65,20 +65,15 @@ class EncoderAdapter:
                          rngs=None):
         spec = log_melspec(wav, valid, self.mel)
         length = valid // self.mel.hop_length + 1
-        if self.encoder.use_cls:
-            # clip model: drop the CLS token, keep frame tokens
-            x, plen = self.encoder.apply(
-                {"params": params}, spec, length,
-                method=self.encoder.prepare_tokens)
-            out = self.encoder.apply(
-                {"params": params}, spec, length, n=1, scene=False,
-                deterministic=not train, rngs=rngs,
-                method=self.encoder.get_intermediate_layers)
-            return out
-        return self.encoder.apply(
+        out = self.encoder.apply(
             {"params": params}, spec, length, n=1, scene=False,
             deterministic=not train, rngs=rngs,
             method=self.encoder.get_intermediate_layers)
+        if self.encoder.use_cls:
+            # clip model used as a frame encoder: drop the CLS token
+            # (reference clip_atst_module.py:19-29)
+            out = out[:, 1:]
+        return out
 
 
 @register_adapter("frameatst")

@@ -1,0 +1,113 @@
+"""Torch->flax importer parity for heads and full-checkpoint loading.
+
+Complements tests/test_encoder_parity.py: the BYOL projector/predictor
+MLPs and LinearHead imported from randomly-initialized reference torch
+modules must match within 1e-3, and the Lightning-checkpoint loading
+path (prefix handling) must recover the teacher encoder."""
+import os
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/reference")
+
+from audiossl_tpu.compat.torch_import import (  # noqa: E402
+    encoder_params_from_torch,
+    linear_head_from_torch,
+    load_pretrain_checkpoint,
+    mlp_head_from_torch,
+)
+from audiossl_tpu.models.byol import MLPHead  # noqa: E402
+from audiossl_tpu.models.heads import LinearHead  # noqa: E402
+
+TOL = 1e-3
+
+
+def test_mlp_head_parity():
+    from audiossl.models.atst.byol import build_mlp
+
+    torch.manual_seed(0)
+    ref = build_mlp(2, 384, 4096, 256, last_bn=False)
+    ref.eval()
+    params, stats = mlp_head_from_torch(ref.state_dict())
+    x = np.random.RandomState(0).randn(4, 384).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    head = MLPHead(4096, 256)
+    got = np.asarray(head.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x),
+        train=False))
+    assert np.abs(got - want).max() < TOL
+
+
+def test_linear_head_parity():
+    from audiossl.modules.head import LinearHead as TorchLinearHead
+
+    torch.manual_seed(1)
+    ref = TorchLinearHead(dim=768, num_labels=35)
+    ref.eval()
+    # run a few training batches so BN stats are non-trivial
+    ref.train()
+    for i in range(3):
+        ref(torch.randn(16, 768))
+    ref.eval()
+    params, stats = linear_head_from_torch(ref.state_dict())
+    x = np.random.RandomState(2).randn(4, 768).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    head = LinearHead(num_labels=35)
+    got = np.asarray(head.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x),
+        train=False))
+    assert np.abs(got - want).max() < TOL
+
+
+def test_lightning_checkpoint_roundtrip(tmp_path):
+    """A Lightning-style ckpt (keys under model.teacher.encoder.) loads
+    through load_pretrain_checkpoint and reproduces the torch forward."""
+    from audiossl.models.atst.audio_transformer import AST_small
+
+    from audiossl_tpu.models.atst import ast_small
+
+    torch.manual_seed(3)
+    enc = AST_small(use_cls=True, spec_h=64, spec_w=1001)
+    enc.eval()
+    sd = {f"model.teacher.encoder.{k}": v
+          for k, v in enc.state_dict().items()}
+    ckpt = {"state_dict": sd,
+            "hyper_parameters": {"arch": "small", "anchor_len": 6.0}}
+    path = str(tmp_path / "last.ckpt")
+    torch.save(ckpt, path)
+
+    params, hparams = load_pretrain_checkpoint(path, which="teacher")
+    assert hparams["arch"] == "small"
+
+    mel = np.random.RandomState(0).randn(2, 64, 601).astype(np.float32)
+    lengths = np.array([601, 480], np.int64)
+    with torch.no_grad():
+        want = enc(torch.from_numpy(mel[:, None]),
+                   length=torch.from_numpy(lengths)).numpy()
+    ours = ast_small(spec_w=1001)
+    got = np.asarray(ours.apply(
+        {"params": params}, jnp.asarray(mel), jnp.asarray(lengths),
+        deterministic=True))
+    assert np.abs(got - want).max() < TOL
+
+
+def test_raw_dino_dict_roundtrip(tmp_path):
+    """Raw DINO-style dict with module./backbone. prefixes (reference
+    downstream/utils.py:180-194)."""
+    from audiossl.models.atst.audio_transformer import AST_small
+
+    torch.manual_seed(4)
+    enc = AST_small(use_cls=True, spec_h=64, spec_w=1001)
+    sd = {f"module.backbone.{k}": v for k, v in enc.state_dict().items()}
+    path = str(tmp_path / "dino.ckpt")
+    torch.save(sd, path)
+    params, _ = load_pretrain_checkpoint(path)
+    assert "patch_proj" in params and "blocks_0" in params
