@@ -17,3 +17,17 @@ Reference capability map: see SURVEY.md at the repo root.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level API (avoids importing flax/optax for ops-only use)
+    if name in ("load_model", "get_scene_embedding",
+                "get_timestamp_embedding", "EmbeddingModel"):
+        import audiossl_tpu.embedding as _e
+
+        return getattr(_e, name)
+    if name in ("get_dataset", "list_all_datasets", "register_dataset"):
+        import audiossl_tpu.datasets as _d
+
+        return getattr(_d, name)
+    raise AttributeError(name)

@@ -57,9 +57,12 @@ def create_spcv2(path, split="train", **kw):
 
 
 @register_dataset("iemocap", multi_label=False, num_labels=4, num_folds=5)
-def create_iemocap(path, split="train", **kw):
-    meta = kw.pop("meta_file",
-                  os.path.join(path, f"meta_data_{split}.json"))
+def create_iemocap(path, split="train", fold=0, **kw):
+    """5-fold by session: meta_data_<split>_session<fold+1>.json if
+    present, else meta_data_<split>.json (single split)."""
+    cand = os.path.join(path, f"meta_data_{split}_session{fold + 1}.json")
+    default = os.path.join(path, f"meta_data_{split}.json")
+    meta = kw.pop("meta_file", cand if os.path.exists(cand) else default)
     return IEMOCAPDataset(path, meta, **kw)
 
 

@@ -51,9 +51,19 @@ def main(argv=None):
     def make_loader(split, shuffle):
         kw = dict(fold=args.fold) if info.num_folds > 1 else {}
         ds = info.creator(args.data_path, split=split, **kw)
+        weights = None
+        if shuffle and args.dataset_name.startswith("audioset"):
+            # class-balanced sampling for AudioSet finetuning
+            # (reference WeightedRandomSampler, train_finetune.py:48-110)
+            from audiossl_tpu.methods.distill.train import (
+                class_balance_weights,
+            )
+
+            weights = class_balance_weights(ds, info.num_labels)
         return BatchLoader(ds, args.batch_size,
                            pad_samples=int(args.train_len * 16000),
-                           shuffle=shuffle, drop_last=shuffle)
+                           shuffle=shuffle, drop_last=shuffle,
+                           weights=weights)
 
     train_loader = make_loader("train", True)
     steps_per_epoch = max(len(train_loader), 1)
