@@ -21,7 +21,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from audiossl_tpu.models.atst import AudioTransformer, ast_base, ast_small
+from audiossl_tpu.models.atst import (AudioTransformer, ast_base,
+                                      ast_small, ast_tiny)
 from audiossl_tpu.models.byol import clip_byol_loss
 from audiossl_tpu.ops.melspec import MelConfig, log_melspec
 from audiossl_tpu.transforms.augment import (
@@ -117,9 +118,13 @@ class ClipMethod:
             spec_w=cfg.out_frames,
             dtype=jnp.dtype(cfg.dtype),
         )
-        enc_fn = {"small": ast_small, "base": ast_base}[cfg.arch]
-        self.student = Branch(encoder=enc_fn(**enc_kw), predictor=True)
-        self.teacher = Branch(encoder=enc_fn(**enc_kw), predictor=False)
+        enc_fn = {"tiny": ast_tiny, "small": ast_small,
+                  "base": ast_base}[cfg.arch]
+        hd, od = (128, 32) if cfg.arch == "tiny" else (4096, 256)
+        self.student = Branch(encoder=enc_fn(**enc_kw), predictor=True,
+                              hidden_dim=hd, out_dim=od)
+        self.teacher = Branch(encoder=enc_fn(**enc_kw), predictor=False,
+                              hidden_dim=hd, out_dim=od)
 
     def init_state(self, rng) -> PretrainState:
         mel = jnp.zeros((2, self.cfg.mel.n_mels, self.cfg.out_frames),

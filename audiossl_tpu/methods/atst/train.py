@@ -24,7 +24,7 @@ def build_parser():
     p.add_argument("--data_path", required=True,
                    help="directory with train.ards (+ .idx)")
     p.add_argument("--save_path", default=None)
-    p.add_argument("--arch", default="small", choices=["small", "base"])
+    p.add_argument("--arch", default="small", choices=["tiny", "small", "base"])
     p.add_argument("--batch_size_per_device", type=int, default=384)
     p.add_argument("--learning_rate", type=float, default=5e-4)
     p.add_argument("--ema", type=float, default=0.99)

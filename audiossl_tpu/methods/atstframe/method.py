@@ -21,7 +21,9 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from audiossl_tpu.models.atst import frame_ast_base, frame_ast_small
+from audiossl_tpu.models.atst import (frame_ast_base,
+                                      frame_ast_small,
+                                      frame_ast_tiny)
 from audiossl_tpu.models.byol import frame_byol_loss
 from audiossl_tpu.ops.masking import make_token_mask
 from audiossl_tpu.ops.melspec import MelConfig, log_melspec
@@ -127,12 +129,14 @@ class FrameMethod:
             pos_type=cfg.pos_type,
             dtype=jnp.dtype(cfg.dtype),
         )
-        enc_fn = {"small": frame_ast_small, "base": frame_ast_base}[cfg.arch]
+        enc_fn = {"tiny": frame_ast_tiny, "small": frame_ast_small,
+                  "base": frame_ast_base}[cfg.arch]
+        hd, od = (128, 32) if cfg.arch == "tiny" else (4096, 256)
         if cfg.avg_blocks == 0:  # ATST-Frame
             self.student = Branch(encoder=enc_fn(**enc_kw), projector="mlp",
-                                  predictor=True)
+                                  predictor=True, hidden_dim=hd, out_dim=od)
             self.teacher = Branch(encoder=enc_fn(**enc_kw), projector="mlp",
-                                  predictor=False)
+                                  predictor=False, hidden_dim=hd, out_dim=od)
         else:  # data2vec-style
             self.student = Branch(encoder=enc_fn(**enc_kw),
                                   projector="linear", predictor=False)

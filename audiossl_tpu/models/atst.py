@@ -370,6 +370,11 @@ def _arch(embed_dim, depth, num_heads, use_cls, **kw):
                             num_heads=num_heads, use_cls=use_cls, **kw)
 
 
+def ast_tiny(**kw):
+    """Tiny tier for CI smoke tests and dry runs (not in the reference)."""
+    return _arch(64, 2, 2, True, **kw)
+
+
 def ast_small(**kw):
     return _arch(384, 12, 6, True, **kw)
 
@@ -380,6 +385,11 @@ def ast_base(**kw):
 
 def ast_large(**kw):
     return _arch(1024, 24, 16, True, **kw)
+
+
+def frame_ast_tiny(**kw):
+    """Tiny tier for CI smoke tests and dry runs (not in the reference)."""
+    return _arch(64, 2, 2, False, **kw)
 
 
 def frame_ast_small(**kw):
