@@ -50,7 +50,7 @@ class ClipPretrainConfig:
     virtual_crop: float = 1.5
     mixup_ratio: float = 0.4
     optimizer: OptimizerConfig = OptimizerConfig()
-    mel: MelConfig = MelConfig()
+    mel: MelConfig = MelConfig(stft_precision="default")
     dtype: str = "float32"
 
     @property

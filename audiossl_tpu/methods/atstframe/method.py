@@ -61,7 +61,7 @@ class FramePretrainConfig:
     patch_h: int = 64
     patch_w: int = 4
     optimizer: OptimizerConfig = OptimizerConfig()
-    mel: MelConfig = MelConfig()
+    mel: MelConfig = MelConfig(stft_precision="default")
     dtype: str = "float32"
 
     @property
