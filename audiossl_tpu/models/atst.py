@@ -88,6 +88,9 @@ class AudioTransformer(nn.Module):
     eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # opt-in Pallas fused attention (wins for sequences >~512 tokens,
+    # e.g. long-audio variants; see ops/pallas_attention.py)
+    fused_attention: bool = False
 
     @property
     def max_patches(self):
@@ -115,7 +118,9 @@ class AudioTransformer(nn.Module):
         self.blocks = [
             block(self.embed_dim, self.num_heads, self.mlp_ratio,
                   self.qkv_bias, self.drop_rate, self.attn_drop_rate,
-                  dpr[i], self.eps, self.dtype, name=f"blocks_{i}")
+                  dpr[i], self.eps, self.dtype,
+                  fused_attention=self.fused_attention,
+                  name=f"blocks_{i}")
             for i in range(self.depth)
         ]
         self.norm = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm")

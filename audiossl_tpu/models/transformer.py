@@ -134,6 +134,7 @@ class Block(nn.Module):
     drop_path_rate: float = 0.0
     eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, attn_mask=None, deterministic=True,
@@ -144,10 +145,12 @@ class Block(nn.Module):
             # (modules/transformer.py:124-133): the softmax attention map
             return Attention(self.dim, self.num_heads, self.qkv_bias,
                              self.attn_drop, self.drop, dtype=self.dtype,
+                             fused_attention=self.fused_attention,
                              name="attn")(y, attn_mask, deterministic,
                                           return_attention=True)
         y = Attention(self.dim, self.num_heads, self.qkv_bias, self.attn_drop,
-                      self.drop, dtype=self.dtype, name="attn")(
+                      self.drop, dtype=self.dtype,
+                      fused_attention=self.fused_attention, name="attn")(
             y, attn_mask, deterministic)
         if self.drop_path_rate > 0 and not deterministic:
             y = drop_path(y, self.drop_path_rate, deterministic,

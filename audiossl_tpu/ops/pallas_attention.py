@@ -11,6 +11,11 @@ probabilities in the backward kernel instead of storing them.
 Semantics match ``models/transformer.Attention`` exactly (additive
 -10000 key mask, f32 softmax); used when attention dropout is off and
 no attention map is requested.
+
+Measured on v5e (96 heads, d=64): N=250 einsum 3.0 ms vs fused 5.2 ms
+(XLA wins — default off); N=1024 einsum 4.6 ms vs fused 3.4 ms (kernel
+wins — enable via ``Attention(fused_attention=True)`` for long-audio
+variants). N is capped at 1536 by the untiled [N, N] VMEM block.
 """
 from __future__ import annotations
 
@@ -98,8 +103,16 @@ def _call(kernel, n_out, R, N, D, interpret, *args):
     )(*args)
 
 
+MAX_SEQ = 1536  # whole [N, N] block must fit VMEM (~16 MB/core)
+
+
 def _prep(q, k, v, mask):
     R, N, D = q.shape
+    if N > MAX_SEQ:
+        raise ValueError(
+            f"fused_attention holds the full [N, N] block in VMEM; "
+            f"N={N} > {MAX_SEQ}. Use the einsum path (or a tiled "
+            f"flash kernel) for longer sequences.")
     n_pad = (-N) % 128
     qp, kp, vp = (_pad_n(x, n_pad) for x in (q, k, v))
     # padded keys masked out; padded query rows are sliced off after
