@@ -288,6 +288,17 @@ def minmax_scale(x: jnp.ndarray, cfg: MelConfig = MelConfig()) -> jnp.ndarray:
     return (x - cfg.mel_min) / (cfg.mel_max - cfg.mel_min) * 2.0 - 1.0
 
 
+# process-wide override for the Pallas mel path: None = auto (TPU
+# default backend). Set False when tracing for non-TPU devices inside a
+# TPU-default process (e.g. the CPU-mesh multi-chip dry run).
+_PALLAS_OVERRIDE: Optional[bool] = None
+
+
+def set_pallas_default(enabled: Optional[bool]) -> None:
+    global _PALLAS_OVERRIDE
+    _PALLAS_OVERRIDE = enabled
+
+
 def _topdb_minmax(db: jnp.ndarray, cfg: MelConfig, valid, normalize: bool):
     """Shared epilogue: per-sample top_db clamp (+ MinMax)."""
     if cfg.top_db is not None:
@@ -322,7 +333,8 @@ def log_melspec(
     if wav.ndim == 1:
         wav = wav[None]
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = _PALLAS_OVERRIDE if _PALLAS_OVERRIDE is not None \
+            else jax.default_backend() == "tpu"
     valid = None
     if length is not None:
         valid = jnp.asarray(length, dtype=jnp.int32) // cfg.hop_length + 1
