@@ -50,6 +50,7 @@ class FinetuneConfig:
     mixup: bool = True
     mixup_alpha: float = 0.5
     specaug: bool = False
+    rrc: bool = False  # RandomResizeCrop aug (FinetuneTargetTransform)
     freeze_embed: bool = False
     optimizer: str = "sgd"            # "sgd" | "adamw"
     mel: MelConfig = MelConfig()
@@ -172,6 +173,15 @@ class FinetuneTask:
                 k_f, k_t = jax.random.split(k_aug)
                 spec = freq_mask(k_f, spec, 10)
                 spec = time_mask(k_t, spec, 50, valid_frames=frames)
+            if cfg.rrc:
+                from audiossl_tpu.transforms.augment import (
+                    random_resize_crop,
+                )
+
+                k_r = jax.random.fold_in(k_aug, 7)
+                spec = random_resize_crop(k_r, spec,
+                                          virtual_crop_scale=(1.0, 1.5),
+                                          valid_frames=frames)
 
             def loss_fn(enc_params, head_params):
                 feats = self._encode(enc_params, spec, frames,
