@@ -35,8 +35,12 @@ from audiossl_tpu.models.atst import (
 def load_encoder(ckpt_path: str, model_type: str, arch: str,
                  spec_w: int = 1001, which: str = "teacher"):
     """-> (encoder module, params). Accepts reference .ckpt or orbax."""
+    from audiossl_tpu.models.atst import ast_tiny, frame_ast_tiny
+
     makers = {
-        ("clip", "small"): ast_small, ("clip", "base"): ast_base,
+        ("clip", "tiny"): ast_tiny, ("clip", "small"): ast_small,
+        ("clip", "base"): ast_base,
+        ("frame", "tiny"): frame_ast_tiny,
         ("frame", "small"): frame_ast_small,
         ("frame", "base"): frame_ast_base,
     }
@@ -86,7 +90,8 @@ def build_parser():
     p.add_argument("--save_path", default=None)
     p.add_argument("--model_type", default="clip",
                    choices=["clip", "frame"])
-    p.add_argument("--arch", default="small", choices=["small", "base"])
+    p.add_argument("--arch", default="small",
+                   choices=["tiny", "small", "base"])
     p.add_argument("--use_encoder", default="teacher",
                    choices=["teacher", "student"])
     p.add_argument("--learning_rate", type=float, default=2e-3)

@@ -36,3 +36,34 @@ def test_atst_frame_cli(tmp_path):
         "--ckpt_interval", "2", "--dtype", "float32",
     ])
     assert os.path.exists(str(tmp_path / "exp" / "ckpt"))
+
+
+def test_train_freeze_driver_orbax(tmp_path):
+    """Probe driver end-to-end with an orbax-exported tiny encoder and
+    a synthetic packed dataset (uses the audioset_b registry entry)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiossl_tpu.downstream.train_freeze import main
+    from audiossl_tpu.models.atst import ast_tiny
+    from audiossl_tpu.training.checkpoint import save_params
+
+    enc = ast_tiny(spec_w=1001)
+    params = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 101)),
+                      length=jnp.asarray([101]),
+                      deterministic=True)["params"]
+    ckpt = str(tmp_path / "enc_params")
+    save_params(ckpt, params)
+
+    data = str(tmp_path / "data")
+    for split in ("train", "valid", "test"):
+        write_synthetic_pack(data, split, 8, min_s=0.5, max_s=1.0,
+                             num_labels=527, multi_label=True, seed=1)
+    res = main([
+        "--pretrained_ckpt_path", ckpt, "--data_path", data,
+        "--dataset_name", "audioset_b", "--model_type", "clip",
+        "--arch", "tiny", "--batch_size", "8", "--max_epochs", "2",
+        "--n_last_blocks", "2", "--train_len", "1.0",
+    ])
+    assert res["metric"] == "mAP"
+    assert 0.0 <= res["test"] <= 1.0
