@@ -38,6 +38,7 @@ class SEDConfig:
     audio_len: float = 10.0
     median_window: int = 7
     n_test_thresholds: int = 50
+    distill_weight: float = 0.0  # >0: add frozen-teacher BCE
     mel: MelConfig = MelConfig()
     sr: int = 16000
 
@@ -59,10 +60,16 @@ class SEDState(NamedTuple):
 
 
 class SEDTask:
-    def __init__(self, encoder: AudioTransformer, cfg: SEDConfig):
+    def __init__(self, encoder: AudioTransformer, cfg: SEDConfig,
+                 teacher_fn=None):
+        """``teacher_fn(wav, valid) -> (strong [B,C,T], weak [B,C])``
+        logits of a frozen teacher enables the distill mode (reference
+        utils_dcase/model_distill.py: clip-ATST teacher predictions
+        added to the SED loss with weight cfg.distill_weight)."""
         self.encoder = encoder
         self.cfg = cfg
         self.head = SEDHead(num_labels=cfg.num_labels)
+        self.teacher_fn = teacher_fn
         self.lr_sched = cosine_schedule(
             cfg.learning_rate, 1e-6, cfg.max_steps,
             cfg.warmup_epochs * cfg.steps_per_epoch)
@@ -128,7 +135,17 @@ class SEDTask:
                 weak_loss = jnp.sum(
                     bce_w.mean(axis=-1) * w_mask) / jnp.maximum(
                     jnp.sum(w_mask), 1.0)
-                return strong_loss + weak_loss, (strong_loss, weak_loss)
+                total = strong_loss + weak_loss
+                if self.teacher_fn is not None and \
+                        cfg.distill_weight > 0:
+                    t_strong, t_weak = self.teacher_fn(wav, valid)
+                    t_strong = jax.lax.stop_gradient(
+                        jax.nn.sigmoid(t_strong))[..., :T]
+                    bce_d = -(t_strong * jnp.log(strong + eps)
+                              + (1 - t_strong)
+                              * jnp.log(1 - strong + eps))
+                    total = total + cfg.distill_weight * bce_d.mean()
+                return total, (strong_loss, weak_loss)
 
             (loss, (sl, wl)), grads = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True)(

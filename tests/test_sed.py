@@ -219,3 +219,39 @@ def test_sed_task_train_step():
     predict = jax.jit(task.make_predict_fn())
     strong, weak = predict(state, batch)
     assert strong.shape[0] == B and weak.shape == (B, 3)
+
+
+def test_sed_task_distill_mode():
+    from audiossl_tpu.models.atst import AudioTransformer
+    from audiossl_tpu.sed.module import SEDConfig, SEDTask
+
+    enc_mod = AudioTransformer(embed_dim=32, depth=2, num_heads=2,
+                               spec_h=64, spec_w=101, use_cls=False)
+    enc_params = enc_mod.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 101)),
+        length=jnp.asarray([101]), deterministic=True)["params"]
+    B, T_enc = 4, 25
+
+    def teacher_fn(wav, valid):
+        # frozen teacher stand-in: constant logits
+        return (jnp.zeros((wav.shape[0], 3, T_enc)),
+                jnp.zeros((wav.shape[0], 3)))
+
+    cfg = SEDConfig(num_labels=3, learning_rate=0.05, max_epochs=1,
+                    steps_per_epoch=2, warmup_epochs=0, audio_len=1.0,
+                    distill_weight=0.5)
+    task = SEDTask(enc_mod, cfg, teacher_fn=teacher_fn)
+    state = task.init_state(jax.random.PRNGKey(1), enc_params)
+    step = jax.jit(task.make_train_step(), donate_argnums=0)
+    rng = np.random.RandomState(0)
+    batch = {
+        "wav": rng.randn(B, cfg.n_samples).astype(np.float32) * 0.1,
+        "valid": np.full(B, cfg.n_samples, np.int32),
+        "strong": (rng.rand(B, T_enc, 3) > 0.8).astype(np.float32),
+        "source": np.array([0, 0, 1, 1], np.int32),
+    }
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    # distill term raises the total loss vs its components
+    assert float(m["loss"]) > float(m["strong_loss"]) + float(
+        m["weak_loss"]) - 1e-6
