@@ -30,7 +30,8 @@ def build_parser():
     p.add_argument("--pretrained_ckpt_path", required=True)
     p.add_argument("--data_path", required=True)
     p.add_argument("--save_path", default=None)
-    p.add_argument("--arch", default="base", choices=["small", "base"])
+    p.add_argument("--arch", default="base",
+                   choices=["tiny", "small", "base"])
     p.add_argument("--learning_rate", type=float, default=1e-3)
     p.add_argument("--lr_scale", type=float, default=0.75)
     p.add_argument("--batch_size", type=int, default=32)

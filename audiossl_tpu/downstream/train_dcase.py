@@ -32,6 +32,7 @@ def evaluate_val(task, predict, state, loader, median_window):
     sed = SEDMetrics(intersection_thd=0.5)
     weak_scores, weak_targets = [], []
     for batch in loader:
+        batch.pop("filenames", None)  # strings can't enter jit
         strong, weak = predict(state, batch)
         y = np.transpose(batch["strong"], (0, 2, 1))[..., :strong.shape[-1]]
         hard = decode_preds(strong, [0.5], median_window)
@@ -51,14 +52,15 @@ def evaluate_test(task, predict, state, loader, encoder, cfg,
     buffers = {t: [] for t in thds}
     buf05 = []
     for batch in loader:
+        fnames = batch.pop("filenames")
         strong, _ = predict(state, batch)
-        dfs = batched_decode_preds(strong, batch["filenames"], encoder,
+        dfs = batched_decode_preds(strong, fnames, encoder,
                                    thresholds=list(thds),
                                    median_filter=cfg.median_window)
         for t in thds:
             buffers[t].append(dfs[t])
         buf05.append(batched_decode_preds(
-            strong, batch["filenames"], encoder, thresholds=[0.5],
+            strong, fnames, encoder, thresholds=[0.5],
             median_filter=cfg.median_window)[0.5])
     dets = {t: pd.concat(v) if v else pd.DataFrame(
         columns=["event_label", "onset", "offset", "filename"])
@@ -80,7 +82,8 @@ def build_parser():
     p.add_argument("--pretrained_ckpt_path", required=True)
     p.add_argument("--data_path", required=True)
     p.add_argument("--save_path", default=None)
-    p.add_argument("--arch", default="base", choices=["small", "base"])
+    p.add_argument("--arch", default="base",
+                   choices=["tiny", "small", "base"])
     p.add_argument("--learning_rate", type=float, default=1e-1)
     p.add_argument("--batch_size_synth", type=int, default=128)
     p.add_argument("--batch_size_weak", type=int, default=128)

@@ -55,7 +55,10 @@ def _per_op_counts(det: pd.DataFrame, gt: pd.DataFrame,
     ct = np.zeros((C, C))
     gt_by = dict(tuple(gt.groupby(["filename", "event_label"])))
 
-    det = det.copy()
+    # detections of classes with no ground truth cannot score TPs and
+    # have no per-class FP bucket — drop them (psds_eval restricts its
+    # class list to the ground-truth classes)
+    det = det[det.event_label.isin(cidx)].copy()
     if len(det):
         det["dur"] = det.offset - det.onset
 
