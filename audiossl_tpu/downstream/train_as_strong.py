@@ -57,7 +57,9 @@ def main(argv=None):
     test_ds = info.creator(args.data_path, split="test", encoder=encoder)
 
     train_loader = MixedBatchLoader([train_ds], [args.batch_size])
-    cfg = SEDConfig(num_labels=info.num_labels,
+    # head size follows the actual label list (407 for the published
+    # common_labels.txt; the registry metadata states the same)
+    cfg = SEDConfig(num_labels=len(labels),
                     learning_rate=args.learning_rate,
                     max_epochs=args.max_epochs,
                     steps_per_epoch=max(len(train_loader), 1),

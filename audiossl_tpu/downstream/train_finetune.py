@@ -28,7 +28,8 @@ def build_parser():
     p.add_argument("--save_path", default=None)
     p.add_argument("--model_type", default="clip",
                    choices=["clip", "frame"])
-    p.add_argument("--arch", default="small", choices=["small", "base"])
+    p.add_argument("--arch", default="small",
+                   choices=["tiny", "small", "base"])
     p.add_argument("--learning_rate", type=float, default=5e-4)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--max_epochs", type=int, default=50)
