@@ -28,6 +28,7 @@ from audiossl_tpu.transforms.augment import random_crop_wav
 
 @dataclasses.dataclass(frozen=True)
 class DistillConfig:
+    arch: str = "base"
     num_labels: int = 527
     lambda_d: float = 1.0
     learning_rate: float = 1e-1
@@ -67,9 +68,20 @@ class DistillState(NamedTuple):
 class DistillMethod:
     def __init__(self, cfg: DistillConfig, teacher_params,
                  teacher_head_params, teacher_head_stats=None):
+        from audiossl_tpu.models.atst import (
+            ast_small,
+            ast_tiny,
+            frame_ast_small,
+            frame_ast_tiny,
+        )
+
         self.cfg = cfg
-        self.teacher = ast_base(spec_w=cfg.out_frames)
-        self.student = frame_ast_base(spec_w=cfg.out_frames)
+        t_fn = {"tiny": ast_tiny, "small": ast_small,
+                "base": ast_base}[cfg.arch]
+        s_fn = {"tiny": frame_ast_tiny, "small": frame_ast_small,
+                "base": frame_ast_base}[cfg.arch]
+        self.teacher = t_fn(spec_w=cfg.out_frames)
+        self.student = s_fn(spec_w=cfg.out_frames)
         self.t_head = LinearHead(num_labels=cfg.num_labels)
         self.s_head = LinearHead(num_labels=cfg.num_labels)
         self.teacher_params = teacher_params

@@ -111,3 +111,37 @@ def test_raw_dino_dict_roundtrip(tmp_path):
     torch.save(sd, path)
     params, _ = load_pretrain_checkpoint(path)
     assert "patch_proj" in params and "blocks_0" in params
+
+
+def test_distill_teacher_ckpt_parsing(tmp_path):
+    """The distill CLI parses finetuned clip-classifier ckpts
+    (encoder.encoder. prefix quirk, reference train_distill.py:50-52)."""
+    from audiossl.models.atst.audio_transformer import AST_small
+    from audiossl.modules.head import LinearHead as TorchLinearHead
+
+    from audiossl_tpu.compat.torch_import import (
+        linear_head_from_torch,
+        strip_prefixes,
+        subtree,
+    )
+
+    torch.manual_seed(5)
+    enc = AST_small(use_cls=True, spec_h=64, spec_w=1001)
+    head = TorchLinearHead(dim=384 * 2, num_labels=527)
+    sd = {}
+    for k, v in enc.state_dict().items():
+        sd[f"encoder.encoder.{k}"] = v
+    for k, v in head.state_dict().items():
+        sd[f"head.{k}"] = v
+    ckpt = {"state_dict": sd}
+    path = str(tmp_path / "teacher.ckpt")
+    torch.save(ckpt, path)
+
+    loaded = torch.load(path, map_location="cpu", weights_only=False)
+    sd2 = strip_prefixes(loaded["state_dict"])
+    enc_sd = subtree(sd2, "encoder.encoder.") or subtree(sd2, "encoder.")
+    params = encoder_params_from_torch(enc_sd)
+    assert "blocks_11" in params and "cls_token" in params
+    hp, hs = linear_head_from_torch(subtree(sd2, "head."))
+    assert hp["linear"]["kernel"].shape == (768, 527)
+    assert "norm" in hs
