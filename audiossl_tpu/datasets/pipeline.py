@@ -64,7 +64,14 @@ class BatchLoader:
         return out, n, label
 
     def _make_batch(self, indices):
-        rows = [self._load_one(i) for i in indices]
+        if self.num_threads > 1 and len(indices) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            if not hasattr(self, "_pool"):
+                self._pool = ThreadPoolExecutor(self.num_threads)
+            rows = list(self._pool.map(self._load_one, indices))
+        else:
+            rows = [self._load_one(i) for i in indices]
         wav = np.stack([r[0] for r in rows])
         valid = np.asarray([r[1] for r in rows], np.int32)
         batch = {"wav": wav, "valid": valid}

@@ -255,3 +255,36 @@ def test_sed_task_distill_mode():
     # distill term raises the total loss vs its components
     assert float(m["loss"]) > float(m["strong_loss"]) + float(
         m["weak_loss"]) - 1e-6
+
+
+def test_mixed_batch_loader_composition(tmp_path):
+    """Every batch = fixed per-source counts; shorter sources cycle
+    (reference ConcatDatasetSampler, SURVEY.md §4 test strategy)."""
+    from audiossl_tpu.datasets.sed import MixedBatchLoader
+
+    class FakeSet:
+        def __init__(self, tag, n):
+            self.tag, self.n = tag, n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            wav = np.full(100, float(i), np.float32)
+            strong = np.zeros((5, 3), np.float32)
+            return wav, strong, f"{self.tag}_{i}"
+
+    a, b = FakeSet("a", 8), FakeSet("b", 3)
+    loader = MixedBatchLoader([a, b], [4, 2], shuffle=False)
+    assert len(loader) == 2  # primary source governs epoch length
+    batches = list(loader)
+    for batch in batches:
+        np.testing.assert_array_equal(batch["source"],
+                                      [0, 0, 0, 0, 1, 1])
+        assert batch["wav"].shape == (6, 100)
+        assert batch["strong"].shape == (6, 5, 3)
+        # first 4 filenames from source a, last 2 from b (cycling)
+        assert all(f.startswith("a_") for f in batch["filenames"][:4])
+        assert all(f.startswith("b_") for f in batch["filenames"][4:])
+    # source b (len 3) cycles: batch0 uses b_0,b_1; batch1 b_2 then b_0
+    assert batches[1]["filenames"][4:] == ["b_2", "b_0"]
