@@ -220,6 +220,12 @@ class FinetuneTask:
             if decay_tree is not None:
                 updates = jax.tree.map(lambda u, d: u * d, updates,
                                        decay_tree)
+            if cfg.weight_decay > 0:
+                # decoupled weight decay on >=2-D kernels only
+                updates = jax.tree.map(
+                    lambda u, p: u + (cfg.weight_decay * p
+                                      if p.ndim >= 2 else 0.0),
+                    updates, params)
             new_params = jax.tree.map(lambda p, u: p - lr * u, params,
                                       updates)
             metrics = {"loss": loss, "lr": lr, "gnorm": gnorm}

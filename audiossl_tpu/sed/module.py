@@ -100,6 +100,7 @@ class SEDTask:
     # --------------------------------------------------------------- #
     def make_train_step(self):
         cfg = self.cfg
+        decay_tree = None
 
         def step_fn(state: SEDState, batch):
             rng, k_dp = jax.random.split(state.rng)
@@ -153,6 +154,24 @@ class SEDTask:
             g = {"enc": grads[0], "head": grads[1]}
             params = {"enc": state.enc_params, "head": state.head_params}
             updates, opt_state = self.opt.update(g, state.opt_state, params)
+            nonlocal decay_tree
+            if decay_tree is None and cfg.lr_scale < 1.0:
+                # per-layer lr scaling (reference request_param_groups,
+                # utils_as_strong/model_as_strong.py:289-325)
+                from audiossl_tpu.downstream.finetune import (
+                    layer_decay_factors,
+                )
+
+                decay_tree = {
+                    "enc": layer_decay_factors(state.enc_params,
+                                               self.encoder.depth,
+                                               cfg.lr_scale),
+                    "head": jax.tree.map(lambda _: 1.0,
+                                         state.head_params),
+                }
+            if decay_tree is not None:
+                updates = jax.tree.map(lambda u, d: u * d, updates,
+                                       decay_tree)
             new = jax.tree.map(lambda p, u: p - lr * u, params, updates)
             return SEDState(
                 step=state.step + 1,
