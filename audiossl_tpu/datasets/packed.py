@@ -133,20 +133,36 @@ class PackedAudioDataset:
                  transform=None, target_transform=None, seed: int = 1234):
         self.reader = PackedReader(os.path.join(path, f"{split}.ards"))
         n = len(self.reader)
-        keys = np.arange(n)
-        if subset is not None and subset < n:
-            rng = np.random.RandomState(seed)
-            sel = rng.permutation(n)[:subset]
-            # cycle the subset back to the full length (lmdb.py:38-44)
-            reps = int(np.ceil(n / subset))
-            keys = np.tile(sel, reps)[:n]
-        self.keys = keys
+        self._rng = np.random.RandomState(seed)
+        self._org_keys = self._rng.permutation(n)
+        self.subset = subset if (subset is not None and subset < n) else n
+        self._start = self.subset
+        # reference LMDBDataset (lmdb.py:33-38): epoch length == subset,
+        # keys = the first `subset` entries of a shuffled permutation
+        self.keys = self._org_keys[:self.subset]
         self.return_key = return_key
         self.transform = transform
         self.target_transform = target_transform
 
     def __len__(self):
         return len(self.keys)
+
+    def cycle(self):
+        """Advance the subset window through the remaining keys
+        (reference ``LMDBDataset.cycle``, lmdb.py:83-91 — defined but
+        never invoked upstream; exposed here so epoch-rotation can be
+        opted into via the loader's ``set_epoch``)."""
+        n = len(self._org_keys)
+        if self._start + self.subset > n:
+            wrap = self._start + self.subset - n
+            self.keys = np.concatenate([self._org_keys[self._start:],
+                                        self._org_keys[:wrap]])
+            self._rng.shuffle(self._org_keys)
+            self._start = 0
+        else:
+            self.keys = self._org_keys[self._start:
+                                       self._start + self.subset]
+            self._start += self.subset
 
     def __getitem__(self, i: int):
         k = int(self.keys[i])

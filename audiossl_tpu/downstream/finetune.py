@@ -70,22 +70,32 @@ class FinetuneState(NamedTuple):
     rng: jax.Array
 
 
-def layer_decay_factors(params, depth: int, decay: float):
-    """Per-leaf LR multipliers: head gets 1.0 (group 0 in the reference
-    reversed ordering), block i gets decay^(depth-i), embeddings/pos get
-    decay^(depth+1) (reference layer_wise_lr_groups,
-    methods/atst/downstream/model.py:129-169)."""
+_EMBED_KEYS = ("patch_proj", "pos_embed", "cls_token", "mask_embed",
+               "prompt_embed")
+
+
+def layer_decay_factors(params, depth: int, decay: float,
+                        freeze_embed: bool = False):
+    """Per-leaf LR multipliers matching the reference
+    ``layer_wise_lr_groups`` (``methods/atst/downstream/model.py:129-169``,
+    ``methods/atstframe/downstream/model.py:149-190``):
+    ``lr_scales[i] = decay**(depth-i)`` for ``i in 0..depth``, so
+
+    - embeddings (patch/pos/cls/mask) get ``lr_scales[0] = decay**depth``
+      — or **0.0** when ``freeze_embed`` (atstframe ``model.py:165-172``
+      zeroes only these while the blocks keep training);
+    - block ``i`` gets ``lr_scales[i] = decay**(depth-i)``;
+    - the final norm gets ``lr_scales[-2] = decay``;
+    - the head gets ``lr_scales[-1] = 1.0``.
+    """
     def factor_for(path):
         names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
         joined = "/".join(str(n) for n in names)
         m = re.search(r"blocks_(\d+)", joined)
         if m:
             return decay ** (depth - int(m.group(1)))
-        if "norm" == names[0] if names else False:
-            return decay  # final norm: one step below head
-        if any(k in joined for k in ("patch_proj", "pos_embed", "cls_token",
-                                     "mask_embed", "prompt_embed")):
-            return decay ** (depth + 1)
+        if any(k in joined for k in _EMBED_KEYS):
+            return 0.0 if freeze_embed else decay ** depth
         if joined.startswith("norm"):
             return decay
         return 1.0
@@ -157,8 +167,10 @@ class FinetuneTask:
                 y_soft = y.astype(jnp.float32)
             else:
                 y_soft = jax.nn.one_hot(y, cfg.num_labels)
+            # distinct subkeys per augmentation (mixup / specaug / rrc
+            # draws must be uncorrelated)
+            k_m, k_l, k_f, k_t, k_r = jax.random.split(k_aug, 5)
             if cfg.mixup:
-                k_m, k_l = jax.random.split(k_aug)
                 lam = jax.random.beta(k_l, cfg.mixup_alpha,
                                       cfg.mixup_alpha, (wav.shape[0], 1))
                 shift = jax.random.randint(k_m, (), 1,
@@ -170,7 +182,6 @@ class FinetuneTask:
                                + (1 - lam3) * jnp.exp(spec2) + 1e-7)
                 y_soft = lam * y_soft + (1 - lam) * y2
             if cfg.specaug:
-                k_f, k_t = jax.random.split(k_aug)
                 spec = freq_mask(k_f, spec, 10)
                 spec = time_mask(k_t, spec, 50, valid_frames=frames)
             if cfg.rrc:
@@ -178,7 +189,6 @@ class FinetuneTask:
                     random_resize_crop,
                 )
 
-                k_r = jax.random.fold_in(k_aug, 7)
                 spec = random_resize_crop(k_r, spec,
                                           virtual_crop_scale=(1.0, 1.5),
                                           valid_frames=frames)
@@ -209,11 +219,13 @@ class FinetuneTask:
             updates, opt_state = self.inner.update(g, state.opt_state,
                                                    params)
             nonlocal decay_tree
-            if decay_tree is None and cfg.layer_wise_lr < 1.0:
+            if decay_tree is None and (cfg.layer_wise_lr < 1.0
+                                       or cfg.freeze_embed):
                 decay_tree = {
                     "enc": layer_decay_factors(
                         state.enc_params, self.encoder.depth,
-                        cfg.layer_wise_lr),
+                        cfg.layer_wise_lr,
+                        freeze_embed=cfg.freeze_embed),
                     "head": jax.tree.map(lambda _: 1.0,
                                          state.head_params),
                 }
@@ -229,10 +241,12 @@ class FinetuneTask:
             new_params = jax.tree.map(lambda p, u: p - lr * u, params,
                                       updates)
             metrics = {"loss": loss, "lr": lr, "gnorm": gnorm}
+            # freeze_embed is realised via zeroed decay-tree multipliers
+            # on patch/pos/mask embeddings only (reference
+            # atstframe/downstream/model.py:165-172) — the blocks train.
             return FinetuneState(
                 step=state.step + 1,
-                enc_params=new_params["enc"] if not cfg.freeze_embed
-                else state.enc_params,
+                enc_params=new_params["enc"],
                 head_params=new_params["head"],
                 head_stats=head_stats,
                 opt_state=opt_state,

@@ -69,10 +69,10 @@ class ClipPretrainConfig:
         return int(self.max_len_s * self.sr)
 
 
-def _one_view(key, wav, valid, len_range, cfg: ClipPretrainConfig):
-    """waveform [B, L] -> augmented mel view [B, n_mels, out_frames]
+def _crop_mel(key, wav, valid, len_range, cfg: ClipPretrainConfig):
+    """waveform [B, L] -> un-augmented mel crop [B, n_mels, out_frames]
     plus its frame counts [B]."""
-    k_len, k_crop, k_mix, k_rrc = jax.random.split(key, 4)
+    k_len, k_crop = jax.random.split(key)
     B = wav.shape[0]
     crop_len = sample_crop_lengths(k_len, B, len_range[0], len_range[1],
                                    cfg.sr)
@@ -80,29 +80,47 @@ def _one_view(key, wav, valid, len_range, cfg: ClipPretrainConfig):
                                         cfg.out_samples)
     mel = log_melspec(crops, crop_valid, cfg.mel)  # [B, F, T]
     frames = crop_valid // cfg.mel.hop_length + 1
+    return mel, frames
+
+
+def _augment_view(key, mel, frames, cfg: ClipPretrainConfig):
+    """Per-view independent Mixup + RandomResizeCrop chain
+    (reference positive_transform1/2, methods/atst/transform.py:34-45)."""
+    k_mix, k_rrc = jax.random.split(key)
     mel = mixup_log(k_mix, mel, cfg.mixup_ratio, valid_frames=frames)
-    mel = random_resize_crop(
+    return random_resize_crop(
         k_rrc, mel,
         virtual_crop_scale=(1.0, cfg.virtual_crop),
         freq_scale=(0.6, 1.5), time_scale=(0.6, 1.5),
         valid_frames=frames)
-    return mel, frames
+
+
+def _one_view(key, wav, valid, len_range, cfg: ClipPretrainConfig):
+    k_cm, k_aug = jax.random.split(key)
+    mel, frames = _crop_mel(k_cm, wav, valid, len_range, cfg)
+    return _augment_view(k_aug, mel, frames, cfg), frames
 
 
 def clip_train_views(key, wav, valid, cfg: ClipPretrainConfig):
     """Build the two training views, stacked view-major: [2B, F, T].
 
     Matches the reference transform (methods/atst/transform.py:50-74):
-    view 1 = anchor crop, view 2 = an independent positive crop (or the
-    same crop when different_positive=False), each independently
-    Mixup'd + RandomResizeCrop'd, padded to the common width.
+    view 1 = anchor crop, view 2 = an independent positive crop — or,
+    when ``different_positive=False``, the SAME mel crop as view 1
+    (``crop_positive2 = crop_positive1``, transform.py:66) — each then
+    put through its own independent Mixup + RandomResizeCrop chain and
+    padded to the common width.
     """
     k1, k2 = jax.random.split(key)
-    v1, f1 = _one_view(k1, wav, valid, cfg.anchor_len, cfg)
     if cfg.different_positive:
+        v1, f1 = _one_view(k1, wav, valid, cfg.anchor_len, cfg)
         v2, f2 = _one_view(k2, wav, valid, cfg.positive_len, cfg)
     else:
-        v2, f2 = _one_view(k2, wav, valid, cfg.anchor_len, cfg)
+        k_cm, k_aug1 = jax.random.split(k1)
+        mel, f1 = _crop_mel(k_cm, wav, valid, cfg.anchor_len, cfg)
+        v1 = _augment_view(k_aug1, mel, f1, cfg)
+        v2 = _augment_view(k2, mel, f1, cfg)
+        f2 = f1
     mel = jnp.concatenate([v1, v2], axis=0)
     frames = jnp.concatenate([f1, f2], axis=0)
     return mel, frames

@@ -160,22 +160,11 @@ class DistillMethod:
                                                  params)
             nonlocal decay_tree
             if decay_tree is None:
-                enc_decay = layer_decay_factors(state.student_params,
-                                                self.student.depth,
-                                                cfg.layer_wise_lr)
-                if cfg.freeze_embed:
-                    # reference layer_wise_lr_groups: lr_scale 0 for
-                    # patch-embed/pos/mask params (module_distill.py:175)
-                    def zero_embed(path, d):
-                        names = "/".join(str(getattr(p, "key", "") or
-                                              getattr(p, "name", ""))
-                                         for p in path)
-                        frozen = ("patch_proj", "pos_embed",
-                                  "mask_embed", "cls_token")
-                        return 0.0 if any(k in names for k in frozen) \
-                            else d
-                    enc_decay = jax.tree_util.tree_map_with_path(
-                        zero_embed, enc_decay)
+                # reference layer_wise_lr_groups: lr_scale 0 for
+                # patch-embed/pos/mask params (module_distill.py:175)
+                enc_decay = layer_decay_factors(
+                    state.student_params, self.student.depth,
+                    cfg.layer_wise_lr, freeze_embed=cfg.freeze_embed)
                 decay_tree = {
                     "enc": enc_decay,
                     "head": jax.tree.map(lambda _: 1.0,

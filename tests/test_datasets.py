@@ -50,8 +50,21 @@ def test_packed_roundtrip(tmp_path):
 def test_packed_dataset_subset_cycles(tmp_path):
     write_synthetic_pack(str(tmp_path), "train", 20, min_s=0.1, max_s=0.2)
     ds = PackedAudioDataset(str(tmp_path), "train", subset=5)
-    assert len(ds) == 20  # cycled back to full length (lmdb.py:38-44)
+    # epoch length == subset (reference lmdb.py:33-38)
+    assert len(ds) == 5
     assert len(set(ds.keys.tolist())) == 5
+    first = set(ds.keys.tolist())
+    # cycle() rotates the subset window through the remaining keys
+    # (lmdb.py:83-91); the next window is disjoint until wraparound
+    ds.cycle()
+    assert len(ds) == 5
+    second = set(ds.keys.tolist())
+    assert first.isdisjoint(second)
+    seen = first | second
+    for _ in range(2):
+        ds.cycle()
+        seen |= set(ds.keys.tolist())
+    assert seen == set(range(20))  # all keys reached over 4 windows
     full = PackedAudioDataset(str(tmp_path), "train")
     assert len(set(full.keys.tolist())) == 20
     wav, label = full[0]

@@ -34,11 +34,11 @@ def test_native_matches_python_reader(pack):
 
 
 def test_native_batch_loader(pack):
-    ds = PackedAudioDataset(pack, "train", subset=6)
+    ds = PackedAudioDataset(pack, "train", subset=8)
     loader = NativeBatchLoader(ds, batch_size=4, pad_samples=8000,
                                seed=1)
     batches = list(loader)
-    assert len(batches) == 3
+    assert len(batches) == 2  # epoch length == subset (lmdb.py:33-38)
     b = batches[0]
     assert b["wav"].shape == (4, 8000)
     assert b["wav"].dtype == np.float32
