@@ -128,20 +128,29 @@ class MixedBatchLoader:
     """Every batch = fixed per-source counts (reference
     ConcatDatasetSampler, sampler.py:7-101): e.g. [128 synth, 128 weak].
     Shorter sources cycle. Yields dicts with wav/valid/strong/source_mask
-    (bool [B] per source) and filenames."""
+    (bool [B] per source) and filenames.
+
+    ``mode`` selects the dataset index that governs the epoch length
+    (reference ``mode``/``batch_len_index``: steps per epoch =
+    ``len(datasets[mode]) // batch_sizes[mode]``; the DCASE config uses
+    ``batch_len_index: 1`` — the weak set — ``conf/frame_40.yaml``).
+    """
 
     def __init__(self, datasets: Sequence, batch_sizes: Sequence[int],
-                 shuffle: bool = True, seed: int = 0, epoch: int = 0):
+                 shuffle: bool = True, seed: int = 0, epoch: int = 0,
+                 mode: int = 0):
         assert len(datasets) == len(batch_sizes)
+        assert 0 <= mode < len(datasets)
         self.datasets = list(datasets)
         self.batch_sizes = list(batch_sizes)
         self.shuffle = shuffle
         self.seed = seed
         self.epoch = epoch
+        self.mode = mode
 
     def __len__(self):
-        # epoch length governed by the first dataset (reference mode="min_size" on primary)
-        return max(len(self.datasets[0]) // self.batch_sizes[0], 1)
+        return max(len(self.datasets[self.mode])
+                   // self.batch_sizes[self.mode], 1)
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -192,24 +201,47 @@ def load_dcase_split(audio_folder: str, tsv_path: str, kind: str,
     return cls(audio_folder, tsv, enc, pad_to=pad_to)
 
 
+def _weak_train_val_split(path, weak_split: float, seed: int):
+    """Reference datasets/dcase.py:121-133: the weak tsv is sampled
+    into a train fraction (``weak_split``, default 0.9, seed 42) and
+    the remainder becomes the weak VALIDATION set."""
+    tsv = pd.read_csv(os.path.join(path, "weak_train/meta.tsv"), sep="\t")
+    train_df = tsv.sample(frac=weak_split, random_state=seed)
+    val_df = tsv.drop(train_df.index).reset_index(drop=True)
+    return train_df.reset_index(drop=True), val_df
+
+
 @register_dataset("dcase", multi_label=True, num_labels=10)
-def create_dcase(path, split="train", **kw):
+def create_dcase(path, split="train", weak_split: float = 0.9,
+                 seed: int = 42, **kw):
     """Directory layout: {synth_train,weak_train,synth_val,strong_val}
     subfolders each with audio/ + meta.tsv (converted from the DCASE
-    yaml config paths of the reference, datasets/dcase.py:80-181)."""
+    yaml config paths of the reference, datasets/dcase.py:80-181).
+
+    train -> (synth_strong, weak_train);
+    valid -> (synth_val, weak_val) — the weak val samples are the
+    1-weak_split remainder of the weak tsv (dcase.py:121-133);
+    test  -> strong_val.
+    """
     enc = kw.pop("encoder", None) or dcase_encoder()
     if split == "train":
         synth = load_dcase_split(os.path.join(path, "synth_train/audio"),
                                  os.path.join(path, "synth_train/meta.tsv"),
                                  "strong", enc)
-        weak = load_dcase_split(os.path.join(path, "weak_train/audio"),
-                                os.path.join(path, "weak_train/meta.tsv"),
-                                "weak", enc)
+        weak_df, _ = _weak_train_val_split(path, weak_split, seed)
+        weak = WeakSet(os.path.join(path, "weak_train/audio"), weak_df,
+                       enc)
         return synth, weak
-    sub = {"valid": "synth_val", "val": "synth_val",
-           "test": "strong_val"}[split]
-    return load_dcase_split(os.path.join(path, sub, "audio"),
-                            os.path.join(path, sub, "meta.tsv"),
+    if split in ("valid", "val"):
+        synth_val = load_dcase_split(
+            os.path.join(path, "synth_val/audio"),
+            os.path.join(path, "synth_val/meta.tsv"), "strong", enc)
+        _, weak_val_df = _weak_train_val_split(path, weak_split, seed)
+        weak_val = WeakSet(os.path.join(path, "weak_train/audio"),
+                           weak_val_df, enc)
+        return synth_val, weak_val
+    return load_dcase_split(os.path.join(path, "strong_val/audio"),
+                            os.path.join(path, "strong_val/meta.tsv"),
                             "strong", enc)
 
 

@@ -46,9 +46,13 @@ def _loss(logits, labels, multi_label: bool):
 def train_linear_probe(train_emb: np.ndarray, train_y: np.ndarray,
                        val_emb: np.ndarray, val_y: np.ndarray,
                        test_emb: np.ndarray, test_y: np.ndarray,
-                       cfg: LinearProbeConfig) -> dict:
+                       cfg: LinearProbeConfig, keeper=None) -> dict:
     """Full probe: train with per-epoch cosine LR, select the best epoch
-    by val metric, report test metric at that epoch's params."""
+    by val metric, report test metric at that epoch's params.
+
+    ``keeper``: optional ``training.checkpoint.TopKKeeper`` persisting
+    the top-k epoch heads (reference ModelCheckpoint save_top_k=10 on
+    val metric, train_freeze.py:117-124)."""
     num_labels = cfg.num_labels or (
         train_y.shape[1] if train_y.ndim == 2 else int(train_y.max()) + 1)
     head = LinearHead(num_labels=num_labels)
@@ -126,6 +130,10 @@ def train_linear_probe(train_emb: np.ndarray, train_y: np.ndarray,
             best_val = v
             best = (jax.tree.map(lambda a: a, params),
                     jax.tree.map(lambda a: a, stats))
+        if keeper is not None:
+            keeper.update(v, epoch, {
+                "params": jax.device_get(params),
+                "batch_stats": jax.device_get(stats)})
 
     params, stats = best
     test_metric = evaluate(params, stats, test_emb, test_y) \

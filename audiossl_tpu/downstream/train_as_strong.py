@@ -20,9 +20,32 @@ from audiossl_tpu.datasets.sed import (
     dcase_encoder,
     load_as_strong_labels,
 )
-from audiossl_tpu.downstream.train_dcase import evaluate_test, evaluate_val
+from audiossl_tpu.downstream.train_dcase import evaluate_test
 from audiossl_tpu.downstream.train_freeze import load_encoder
+from audiossl_tpu.sed.decode import decode_preds
+from audiossl_tpu.sed.metrics import SEDMetrics
 from audiossl_tpu.sed.module import SEDConfig, SEDTask
+from audiossl_tpu.training.checkpoint import TopKKeeper
+
+
+def evaluate_val_as_strong(predict, state, loader, median_window):
+    """Reference AS-strong validation (model_as_strong.py:140-161):
+    the monitored ``val/object_metric`` is the mean strong BCE **loss**
+    (min mode); intersection macro-F1 is logged alongside."""
+    sed = SEDMetrics(intersection_thd=0.5)
+    losses = []
+    for batch in loader:
+        batch.pop("filenames", None)
+        strong, _ = predict(state, batch)
+        strong = np.asarray(strong)
+        y = np.transpose(batch["strong"], (0, 2, 1))[..., :strong.shape[-1]]
+        p = np.clip(strong, 1e-7, 1 - 1e-7)
+        losses.append(float(-np.mean(y * np.log(p)
+                                     + (1 - y) * np.log(1 - p))))
+        hard = decode_preds(strong, [0.5], median_window)
+        sed.accumulate(np.asarray(hard), y)
+    return float(np.mean(losses)) if losses else float("inf"), \
+        sed.macro_f1()
 
 
 def build_parser():
@@ -40,6 +63,7 @@ def build_parser():
     p.add_argument("--patience", type=int, default=10)
     p.add_argument("--median_window", type=int, default=7)
     p.add_argument("--freeze_mode", action="store_true")
+    p.add_argument("--save_top_k", type=int, default=3)
     return p
 
 
@@ -72,21 +96,28 @@ def main(argv=None):
     step = jax.jit(task.make_train_step(), donate_argnums=0)
     predict = jax.jit(task.make_predict_fn())
 
-    best_obj, best_state, since = -1.0, jax.device_get(state), 0
+    # reference monitors val strong loss, MIN mode, save_top_k=3 +
+    # EarlyStopping(patience 10, min) (train_as_strong.py:48-61)
+    keeper = (TopKKeeper(args.save_path, k=args.save_top_k, mode="min")
+              if args.save_path else None)
+    best_obj, best_state, since = float("inf"), jax.device_get(state), 0
     for epoch in range(args.max_epochs):
         train_loader.set_epoch(epoch)
         for batch in train_loader:
             batch.pop("filenames")
             state, metrics = step(state, batch)
-        f1, wmap = evaluate_val(
-            task, predict, state, MixedBatchLoader([val_ds], [32],
-                                                   shuffle=False),
+        val_loss, f1 = evaluate_val_as_strong(
+            predict, state, MixedBatchLoader([val_ds], [32],
+                                             shuffle=False),
             cfg.median_window)
-        obj = f1
-        print(f"epoch {epoch}: intersection_f1={f1:.4f} "
+        print(f"epoch {epoch}: val_loss={val_loss:.4f} "
+              f"intersection_f1={f1:.4f} "
               f"loss={float(metrics['loss']):.4f}", flush=True)
-        if obj > best_obj:
-            best_obj, best_state, since = obj, jax.device_get(state), 0
+        if keeper is not None:
+            keeper.update(val_loss, epoch, jax.device_get(state))
+        if val_loss < best_obj:
+            best_obj, best_state, since = (val_loss,
+                                           jax.device_get(state), 0)
         else:
             since += 1
             if since >= args.patience:  # reference EarlyStopping
@@ -100,6 +131,10 @@ def main(argv=None):
         dur_path) else pd.DataFrame({
             "filename": gt.filename.unique(),
             "duration": [cfg.audio_len] * gt.filename.nunique()})
+    if keeper is not None:
+        restored = keeper.restore_best(best_state)
+        if restored is not None:
+            best_state = restored
     result = evaluate_test(task, predict, best_state,
                            MixedBatchLoader([test_ds], [32],
                                             shuffle=False),

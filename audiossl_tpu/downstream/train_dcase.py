@@ -18,31 +18,38 @@ import pandas as pd
 
 from audiossl_tpu.datasets import get_dataset
 from audiossl_tpu.datasets.sed import MixedBatchLoader, dcase_encoder
-from audiossl_tpu.downstream.metrics import mean_average_precision
 from audiossl_tpu.downstream.train_freeze import load_encoder
 from audiossl_tpu.sed.decode import batched_decode_preds, decode_preds
-from audiossl_tpu.sed.metrics import SEDMetrics, clip_avg_f1
+from audiossl_tpu.sed.metrics import (SEDMetrics, WeakF1Accumulator,
+                                      clip_avg_f1)
 from audiossl_tpu.sed.module import SEDConfig, SEDState, SEDTask
 from audiossl_tpu.sed.psds import compute_psds, event_based_f1
+from audiossl_tpu.training.checkpoint import TopKKeeper
 
 
-def evaluate_val(task, predict, state, loader, median_window):
-    import jax.numpy as jnp
-
+def evaluate_val(task, predict, state, synth_loader, weak_loader,
+                 median_window):
+    """Reference val objective (utils_dcase/model_dcase.py:175-232):
+    intersection macro-F1 on the synth-val strong labels + weak
+    macro-F1 (torchmetrics multilabel, threshold 0.5) on the weak-val
+    clip labels."""
     sed = SEDMetrics(intersection_thd=0.5)
-    weak_scores, weak_targets = [], []
-    for batch in loader:
+    for batch in synth_loader:
         batch.pop("filenames", None)  # strings can't enter jit
-        strong, weak = predict(state, batch)
+        strong, _ = predict(state, batch)
         y = np.transpose(batch["strong"], (0, 2, 1))[..., :strong.shape[-1]]
         hard = decode_preds(strong, [0.5], median_window)
         sed.accumulate(np.asarray(hard), y)
-        weak_scores.append(np.asarray(weak))
-        weak_targets.append((y.sum(-1) > 0).astype(np.float32))
     f1 = sed.macro_f1()
-    wmap = mean_average_precision(np.concatenate(weak_scores),
-                                  np.concatenate(weak_targets))
-    return f1, wmap
+
+    weak_f1 = WeakF1Accumulator()
+    for batch in weak_loader:
+        batch.pop("filenames", None)
+        strong, weak = predict(state, batch)
+        y = np.transpose(batch["strong"], (0, 2, 1))[..., :strong.shape[-1]]
+        weak_f1.accumulate(np.asarray(weak),
+                           (y.sum(-1) > 0).astype(np.float32))
+    return f1, weak_f1.macro_f1()
 
 
 def evaluate_test(task, predict, state, loader, encoder, cfg,
@@ -91,6 +98,7 @@ def build_parser():
     p.add_argument("--warmup_epochs", type=int, default=10)
     p.add_argument("--median_window", type=int, default=7)
     p.add_argument("--freeze_mode", action="store_true")
+    p.add_argument("--save_top_k", type=int, default=3)
     return p
 
 
@@ -103,11 +111,15 @@ def main(argv=None):
 
     synth, weak = info.creator(args.data_path, split="train",
                                encoder=encoder)
-    val_ds = info.creator(args.data_path, split="valid", encoder=encoder)
+    synth_val, weak_val = info.creator(args.data_path, split="valid",
+                                       encoder=encoder)
     test_ds = info.creator(args.data_path, split="test", encoder=encoder)
 
+    # epoch length governed by the weak set (batch_len_index: 1,
+    # reference conf/frame_40.yaml)
     train_loader = MixedBatchLoader(
-        [synth, weak], [args.batch_size_synth, args.batch_size_weak])
+        [synth, weak], [args.batch_size_synth, args.batch_size_weak],
+        mode=1)
     cfg = SEDConfig(num_labels=info.num_labels,
                     learning_rate=args.learning_rate,
                     max_epochs=args.max_epochs,
@@ -124,19 +136,26 @@ def main(argv=None):
         loader = MixedBatchLoader([ds], [bs], shuffle=False)
         return loader
 
+    keeper = (TopKKeeper(args.save_path, k=args.save_top_k)
+              if args.save_path else None)
     best_obj, best_state = -1.0, jax.device_get(state)
     for epoch in range(args.max_epochs):
         train_loader.set_epoch(epoch)
         for batch in train_loader:
             fn = batch.pop("filenames")
             state, metrics = step(state, batch)
-        f1, wmap = evaluate_val(task, predict, state,
-                                eval_loader(val_ds), cfg.median_window)
-        obj = f1 + wmap
-        print(f"epoch {epoch}: intersection_f1={f1:.4f} weak_mAP="
-              f"{wmap:.4f} loss={float(metrics['loss']):.4f}", flush=True)
+        f1, weak_f1 = evaluate_val(task, predict, state,
+                                   eval_loader(synth_val),
+                                   eval_loader(weak_val),
+                                   cfg.median_window)
+        obj = f1 + weak_f1
+        print(f"epoch {epoch}: intersection_f1={f1:.4f} weak_F1="
+              f"{weak_f1:.4f} loss={float(metrics['loss']):.4f}",
+              flush=True)
         if obj > best_obj:
             best_obj, best_state = obj, jax.device_get(state)
+        if keeper is not None:
+            keeper.update(obj, epoch, jax.device_get(state))
 
     # test: PSDS needs ground-truth events + durations
     gt = pd.read_csv(os.path.join(args.data_path, "strong_val/meta.tsv"),
@@ -148,6 +167,12 @@ def main(argv=None):
         durations = pd.DataFrame({
             "filename": gt.filename.unique(),
             "duration": [cfg.audio_len] * gt.filename.nunique()})
+    if keeper is not None:
+        # test from the persisted best checkpoint (reference tests from
+        # the ModelCheckpoint-monitored best, train_dcase.py:51-58)
+        restored = keeper.restore_best(best_state)
+        if restored is not None:
+            best_state = restored
     result = evaluate_test(task, predict, best_state,
                            eval_loader(test_ds), encoder, cfg, gt,
                            durations)

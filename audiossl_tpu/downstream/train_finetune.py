@@ -97,6 +97,15 @@ def main(argv=None):
             m.update(logits, batch["label"])
         return m.compute()
 
+    # reference persists save_top_k=10 for audioset else 1
+    # (train_finetune.py:122), monitored max on the val metric
+    if args.save_path:
+        from audiossl_tpu.training.checkpoint import TopKKeeper
+
+        k = 10 if "audioset" in args.dataset_name else 1
+        keeper = TopKKeeper(args.save_path, k=k)
+    else:
+        keeper = None
     best_val, best_state = -1.0, None
     for epoch in range(args.max_epochs):
         train_loader.set_epoch(epoch)
@@ -107,7 +116,13 @@ def main(argv=None):
               f"loss={float(metrics['loss']):.4f}", flush=True)
         if v > best_val:
             best_val, best_state = v, jax.device_get(state)
+        if keeper is not None:
+            keeper.update(v, epoch, jax.device_get(state))
 
+    if keeper is not None:
+        restored = keeper.restore_best(best_state)
+        if restored is not None:
+            best_state = restored
     test = eval_split(best_state, "test")
     result = {"dataset": args.dataset_name, "val": best_val, "test": test}
     print(json.dumps(result))

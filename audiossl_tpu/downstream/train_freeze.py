@@ -77,8 +77,14 @@ def run_fold(extract, info, args, fold: int):
         num_labels=info.num_labels,
         lr_scale=args.batch_size / 256.0,  # reference lr rule
     )
+    keeper = None
+    if getattr(args, "save_path", None):
+        from audiossl_tpu.training.checkpoint import TopKKeeper
+
+        keeper = TopKKeeper(os.path.join(args.save_path,
+                                         f"fold{fold}"), k=10)
     res = train_linear_probe(train_e, train_y, val_e, val_y, test_e,
-                             test_y, cfg)
+                             test_y, cfg, keeper=keeper)
     return res["val_metric"], res["test_metric"]
 
 

@@ -121,6 +121,42 @@ class SEDMetrics:
         return out
 
 
+class WeakF1Accumulator:
+    """Clip-level (weak-label) multilabel macro F1 at threshold 0.5.
+
+    Matches torchmetrics ``F1Score(num_labels=C, average="macro",
+    task="multilabel")`` as used for the reference's validation
+    objective (``utils_dcase/model_dcase.py:116-120,175``): scores are
+    binarized at 0.5, per-class tp/fp/fn accumulate across batches,
+    ``f1_c = 2tp/(2tp+fp+fn)`` (0 when the denominator is 0), macro
+    mean over ALL classes.
+    """
+
+    def __init__(self, threshold: float = 0.5):
+        self.threshold = threshold
+        self.reset()
+
+    def reset(self):
+        self.tp = 0.0
+        self.fp = 0.0
+        self.fn = 0.0
+
+    def accumulate(self, scores, targets):
+        """scores [B, C] in [0,1]; targets [B, C] in {0,1}."""
+        pred = (np.asarray(scores) >= self.threshold)
+        t = np.asarray(targets) > 0.5
+        self.tp = self.tp + (pred & t).sum(0).astype(np.float64)
+        self.fp = self.fp + (pred & ~t).sum(0).astype(np.float64)
+        self.fn = self.fn + (~pred & t).sum(0).astype(np.float64)
+
+    def macro_f1(self) -> float:
+        denom = 2 * self.tp + self.fp + self.fn
+        f1 = np.where(denom > 0, 2 * self.tp / np.maximum(denom, 1), 0.0)
+        out = float(np.mean(f1))
+        self.reset()
+        return out
+
+
 def auc_from_curves(tpr: np.ndarray, fpr: np.ndarray) -> float:
     """Mean per-class trapezoid AUC of (fpr, tpr) curves [n_thds, C]."""
     aucs = []

@@ -49,12 +49,23 @@ def test_train_dcase_driver_e2e(tmp_path):
 
     data = str(tmp_path / "dcase")
     _make_dcase_dir(data)
+    save = str(tmp_path / "out")
     res = main([
         "--pretrained_ckpt_path", ckpt, "--data_path", data,
         "--arch", "tiny", "--batch_size_synth", "2",
         "--batch_size_weak", "2", "--max_epochs", "1",
         "--warmup_epochs", "0", "--learning_rate", "0.01",
+        "--save_path", save,
     ])
     for k in ("psds1", "psds2", "event_f1"):
         assert k in res
         assert 0.0 <= res[k] <= 1.0
+    # the best checkpoint was persisted to disk and is restorable
+    # (reference ModelCheckpoint save_top_k, train_dcase.py:51-58)
+    import json
+
+    idx = os.path.join(save, "top", "index.json")
+    assert os.path.exists(idx)
+    with open(idx) as f:
+        entries = json.load(f)
+    assert len(entries) == 1  # 1 epoch -> 1 kept checkpoint
