@@ -45,11 +45,15 @@ def subtree(sd: Mapping[str, object], prefix: str) -> Dict[str, object]:
     return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
 
 
-def encoder_params_from_torch(sd: Mapping[str, object], depth: int = 12
-                              ) -> Dict[str, object]:
+def encoder_params_from_torch(sd: Mapping[str, object],
+                              depth: int = None) -> Dict[str, object]:
     """Torch AST/FrameAST state_dict (already scoped to the encoder) ->
-    flax params for ``AudioTransformer``."""
+    flax params for ``AudioTransformer``. ``depth`` is inferred from the
+    block keys when not given."""
     g = {k: _np(v) for k, v in sd.items()}
+    if depth is None:
+        depth = 1 + max((int(k.split(".")[1]) for k in g
+                         if k.startswith("blocks.")), default=-1)
     p: Dict[str, object] = {}
 
     if "patch_embed.patch_embed.weight" in g:  # Linear patch embed

@@ -38,10 +38,22 @@ class DistillConfig:
     momentum: float = 0.9
     layer_wise_lr: float = 0.75
     freeze_embed: bool = False
+    grad_clip: float = 3.0     # reference gradient_clip_val=3.0
     chunk_len: int = 601  # teacher chunked-inference window (frames)
     max_len: float = 10.0
     sr: int = 16000
     mel: MelConfig = MelConfig()
+    # single-label tasks (module_distill_other.py): CE losses + a
+    # CentralCrop transform instead of AudioSet's random 10 s crop
+    multi_label: bool = True
+    crop: str = "random"       # "random" | "central"
+    # encoder construction width = the PRETRAIN width (pos-embed length
+    # comes from the checkpoint); longer inputs are chunked
+    pretrain_frames: int = 1001
+    # student chunk window (module_distill_other.py:187 chunk_len=1001;
+    # a 10 s AudioSet input = exactly one chunk, so the AudioSet path
+    # reduces to the plain scene forward)
+    student_chunk_len: int = 1001
 
     @property
     def out_samples(self):
@@ -80,8 +92,8 @@ class DistillMethod:
                 "base": ast_base}[cfg.arch]
         s_fn = {"tiny": frame_ast_tiny, "small": frame_ast_small,
                 "base": frame_ast_base}[cfg.arch]
-        self.teacher = t_fn(spec_w=cfg.out_frames)
-        self.student = s_fn(spec_w=cfg.out_frames)
+        self.teacher = t_fn(spec_w=cfg.pretrain_frames)
+        self.student = s_fn(spec_w=cfg.pretrain_frames)
         self.t_head = LinearHead(num_labels=cfg.num_labels)
         self.s_head = LinearHead(num_labels=cfg.num_labels)
         self.teacher_params = teacher_params
@@ -106,6 +118,36 @@ class DistillMethod:
             rng=k1,
         )
 
+    def _student_scene(self, enc_params, mel, frames, k_dp=None):
+        """Chunked student scene embedding (module_distill_other.py:
+        183-212): split the mel into ``student_chunk_len`` windows, one
+        batched forward, chunk-mark weighted average. A single-window
+        input (AudioSet 10 s) reduces to the plain scene forward."""
+        cfg = self.cfg
+        B, F, T = mel.shape
+        # never widen a chunk beyond the input or the model's pos table
+        chunk_len = min(cfg.student_chunk_len, self.student.spec_w, T)
+        num_chunks = max((T + chunk_len - 1) // chunk_len, 1)
+        pad_to = num_chunks * chunk_len
+        melp = jnp.pad(mel, ((0, 0), (0, 0), (0, pad_to - T)))
+        chunks = melp.reshape(B, F, num_chunks, chunk_len)
+        chunks = jnp.transpose(chunks, (0, 2, 1, 3)).reshape(
+            B * num_chunks, F, chunk_len)
+        ks = jnp.arange(num_chunks)
+        cur = jnp.clip(frames[:, None] - ks[None, :] * chunk_len, 0,
+                       chunk_len)
+        mark = jnp.where(ks[None, :] == 0, cur > 0,
+                         cur > chunk_len // 2).astype(jnp.float32)
+        emb = self.student.apply(
+            {"params": enc_params}, chunks, cur.reshape(-1), n=1,
+            scene=True, deterministic=k_dp is None,
+            rngs=None if k_dp is None else {"droppath": k_dp},
+            method=self.student.get_intermediate_layers)
+        emb = emb.reshape(B, num_chunks, -1)
+        w = mark[..., None]
+        return (w * emb).sum(1) / jnp.maximum(
+            mark.sum(1, keepdims=True), 1e-6)
+
     def _teacher_logits(self, mel, frames):
         feats = self.teacher.apply(
             {"params": self.teacher_params}, mel, frames, n=1,
@@ -125,28 +167,50 @@ class DistillMethod:
             lr = self.lr_sched(state.step)
             wav, valid, y = batch["wav"], batch["valid"], batch["label"]
             B = wav.shape[0]
-            crops, cv = random_crop_wav(
-                k_crop, wav, valid,
-                jnp.full((B,), cfg.out_samples, jnp.int32),
-                cfg.out_samples)
+            if cfg.crop == "central":
+                # DistillATSTTrainTransform: CentralCrop(max_len,
+                # pad=False) (module_distill_other.py:33-55)
+                from audiossl_tpu.downstream.embedding import (
+                    central_crop_frames,
+                )
+
+                crops, cv = central_crop_frames(wav, valid,
+                                                cfg.out_samples)
+            else:
+                crops, cv = random_crop_wav(
+                    k_crop, wav, valid,
+                    jnp.full((B,), cfg.out_samples, jnp.int32),
+                    cfg.out_samples)
             mel = log_melspec(crops, cv, cfg.mel)
             frames = cv // cfg.mel.hop_length + 1
-            target = jax.lax.stop_gradient(
-                jax.nn.sigmoid(self._teacher_logits(mel, frames)))
+            t_logits = jax.lax.stop_gradient(
+                self._teacher_logits(mel, frames))
+            if cfg.multi_label:
+                target = jax.nn.sigmoid(t_logits)
+                y_soft = y.astype(jnp.float32)
+            else:
+                # reference single-label distill: CE to teacher softmax
+                # + CE to the hard label (module_distill_other.py:315-324)
+                target = jax.nn.softmax(t_logits, axis=-1)
+                y_soft = jax.nn.one_hot(y, cfg.num_labels)
 
             def loss_fn(enc_params, head_params):
-                emb = self.student.apply(
-                    {"params": enc_params}, mel, frames, n=1, scene=True,
-                    deterministic=False, rngs={"droppath": k_dp},
-                    method=self.student.get_intermediate_layers)
+                emb = self._student_scene(enc_params, mel, frames,
+                                          k_dp=k_dp)
                 logits, upd = self.s_head.apply(
                     {"params": head_params,
                      "batch_stats": state.head_stats}, emb, train=True,
                     mutable=["batch_stats"])
-                loss_d = optax.sigmoid_binary_cross_entropy(
-                    logits, target).mean()
-                loss_c = optax.sigmoid_binary_cross_entropy(
-                    logits, y.astype(jnp.float32)).mean()
+                if cfg.multi_label:
+                    loss_d = optax.sigmoid_binary_cross_entropy(
+                        logits, target).mean()
+                    loss_c = optax.sigmoid_binary_cross_entropy(
+                        logits, y_soft).mean()
+                else:
+                    loss_d = optax.softmax_cross_entropy(
+                        logits, target).mean()
+                    loss_c = optax.softmax_cross_entropy(
+                        logits, y_soft).mean()
                 loss = cfg.lambda_d * loss_d + (1 - cfg.lambda_d) * loss_c
                 return loss, (loss_d, loss_c, upd["batch_stats"])
 
@@ -154,6 +218,10 @@ class DistillMethod:
                 loss_fn, argnums=(0, 1), has_aux=True)(
                 state.student_params, state.head_params)
             g = {"enc": grads[0], "head": grads[1]}
+            if cfg.grad_clip > 0:
+                gnorm = optax.global_norm(g)
+                scale = jnp.minimum(1.0, cfg.grad_clip / (gnorm + 1e-6))
+                g = jax.tree.map(lambda x: x * scale, g)
             params = {"enc": state.student_params,
                       "head": state.head_params}
             updates, opt_state = self.opt.update(g, state.opt_state,
@@ -183,3 +251,24 @@ class DistillMethod:
             ), {"loss": loss, "loss_d": ld, "loss_c": lc, "lr": lr}
 
         return step_fn
+
+    def make_eval_fn(self):
+        """Student logits on the central-cropped eval input
+        (DistillATSTEvalTransform, module_distill_other.py:58-80)."""
+        cfg = self.cfg
+
+        def eval_fn(state: DistillState, batch):
+            from audiossl_tpu.downstream.embedding import (
+                central_crop_frames,
+            )
+
+            crops, cv = central_crop_frames(batch["wav"], batch["valid"],
+                                            cfg.out_samples)
+            mel = log_melspec(crops, cv, cfg.mel)
+            frames = cv // cfg.mel.hop_length + 1
+            emb = self._student_scene(state.student_params, mel, frames)
+            return self.s_head.apply(
+                {"params": state.head_params,
+                 "batch_stats": state.head_stats}, emb, train=False)
+
+        return eval_fn

@@ -50,9 +50,14 @@ def build_parser():
     return p
 
 
-def main(argv=None):
-    args = build_parser().parse_args(argv)
+def load_teacher_student(teacher_ckpt_path: str,
+                         student_ckpt_path: str):
+    """Load the frozen finetuned clip-classifier teacher (encoder +
+    LinearHead) and the pretrained FrameAST student params from torch
+    or orbax checkpoints (reference train_distill.py:40-56 prefix
+    handling)."""
     from audiossl_tpu.compat.torch_import import (
+        encoder_params_from_torch,
         linear_head_from_torch,
         load_pretrain_checkpoint,
         strip_prefixes,
@@ -60,19 +65,29 @@ def main(argv=None):
     )
     import torch
 
-    # teacher: finetuned clip classifier ckpt
-    ckpt = torch.load(args.teacher_ckpt_path, map_location="cpu",
+    ckpt = torch.load(teacher_ckpt_path, map_location="cpu",
                       weights_only=False)
     sd = strip_prefixes(ckpt.get("state_dict", ckpt))
-    from audiossl_tpu.compat.torch_import import encoder_params_from_torch
-
     enc_sd = subtree(sd, "encoder.encoder.") or subtree(sd, "encoder.")
     teacher_params = encoder_params_from_torch(enc_sd)
     head_sd = subtree(sd, "head.")
     t_head_params, t_head_stats = linear_head_from_torch(head_sd)
+    if student_ckpt_path.endswith(".ckpt"):
+        student_params, _ = load_pretrain_checkpoint(student_ckpt_path,
+                                                     which="teacher")
+    else:  # orbax params dir
+        from audiossl_tpu.training.checkpoint import restore_params
 
-    student_params, _ = load_pretrain_checkpoint(args.student_ckpt_path,
-                                                 which="teacher")
+        student_params = restore_params(student_ckpt_path)
+    return teacher_params, t_head_params, t_head_stats, student_params
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    teacher_params, t_head_params, t_head_stats, student_params = \
+        load_teacher_student(args.teacher_ckpt_path,
+                             args.student_ckpt_path)
 
     dataset = PackedAudioDataset(args.data_path, "train")
     weights = None
