@@ -47,66 +47,86 @@ def _intersection(a_on, a_off, b_on, b_off):
 
 def _per_op_counts(det: pd.DataFrame, gt: pd.DataFrame,
                    classes: List[str], cfg: PSDSConfig):
-    """One operating point -> (tp [C], fp [C], ct [C, C])."""
+    """One operating point -> (tp [C], fp [C], ct [C, C]).
+
+    Fully vectorized (pairwise det×gt merges + groupby sums) — the
+    AS-strong scale (50 thresholds × 407 classes) evaluates in seconds
+    rather than the former O(n²) ``iterrows`` loops.
+    """
     C = len(classes)
     cidx = {c: i for i, c in enumerate(classes)}
     tp = np.zeros(C)
     fp = np.zeros(C)
     ct = np.zeros((C, C))
-    gt_by = dict(tuple(gt.groupby(["filename", "event_label"])))
 
     # detections of classes with no ground truth cannot score TPs and
     # have no per-class FP bucket — drop them (psds_eval restricts its
     # class list to the ground-truth classes)
-    det = det[det.event_label.isin(cidx)].copy()
-    if len(det):
-        det["dur"] = det.offset - det.onset
+    det = det[det.event_label.isin(cidx)].reset_index(drop=True)
+    det = det.assign(det_id=np.arange(len(det)),
+                     dur=det.offset - det.onset)
+    gt = gt.assign(gt_id=np.arange(len(gt)),
+                   gt_dur=gt.offset - gt.onset)
 
-    valid_flags = np.zeros(len(det), bool)
-    for pos, (i, d) in enumerate(det.iterrows()):
-        key = (d.filename, d.event_label)
-        g = gt_by.get(key)
-        if g is not None and d.dur > 0:
-            inter = _intersection(d.onset, d.offset, g.onset.values,
-                                  g.offset.values).sum()
-            if inter / d.dur >= cfg.dtc_threshold:
-                valid_flags[pos] = True
+    # pairwise same-class same-file intersections
+    pair = det.merge(gt, on=["filename", "event_label"],
+                     suffixes=("", "_gt"))
+    if len(pair):
+        pair["inter"] = _intersection(pair.onset.values,
+                                      pair.offset.values,
+                                      pair.onset_gt.values,
+                                      pair.offset_gt.values)
+    else:
+        pair["inter"] = np.zeros(0)
 
-    det["dtc_valid"] = valid_flags
+    # DTC: summed same-class intersection covers >= dtc of the detection
+    inter_by_det = pair.groupby("det_id")["inter"].sum()
+    dtc_ratio = np.zeros(len(det))
+    if len(inter_by_det):
+        dtc_ratio[inter_by_det.index.values] = inter_by_det.values
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dtc_ratio = np.where(det.dur.values > 0,
+                             dtc_ratio / np.maximum(det.dur.values, 1e-30),
+                             0.0)
+    dtc_valid = dtc_ratio >= cfg.dtc_threshold
+    det["dtc_valid"] = dtc_valid
 
-    # GTC: ground truths covered by valid detections
-    for (fname, cls), g in gt_by.items():
-        dv = det[(det.filename == fname) & (det.event_label == cls)
-                 & det.dtc_valid]
-        for _, row in g.iterrows():
-            dur = row.offset - row.onset
-            if dur <= 0:
-                continue
-            inter = _intersection(row.onset, row.offset, dv.onset.values,
-                                  dv.offset.values).sum() if len(dv) else 0.0
-            if inter / dur >= cfg.gtc_threshold:
-                tp[cidx[cls]] += 1
+    # GTC: ground truths covered >= gtc by DTC-valid detections
+    if len(pair):
+        pv = pair[dtc_valid[pair.det_id.values]]
+        inter_by_gt = pv.groupby("gt_id")["inter"].sum()
+        cov = np.zeros(len(gt))
+        if len(inter_by_gt):
+            cov[inter_by_gt.index.values] = inter_by_gt.values
+        ok = (gt.gt_dur.values > 0) & (
+            cov / np.maximum(gt.gt_dur.values, 1e-30)
+            >= cfg.gtc_threshold)
+        if ok.any():
+            np.add.at(tp, [cidx[c] for c in gt.event_label.values[ok]], 1)
 
     # FPs: detections failing DTC
     inval = det[~det.dtc_valid]
-    for _, d in inval.iterrows():
-        fp[cidx[d.event_label]] += 1
+    if len(inval):
+        np.add.at(fp, [cidx[c] for c in inval.event_label.values], 1)
 
     # CTTC: invalid detections vs other-class ground truths
-    if cfg.alpha_ct > 0:
-        for _, d in inval.iterrows():
-            if d.dur <= 0:
-                continue
-            for cls in classes:
-                if cls == d.event_label:
-                    continue
-                g = gt_by.get((d.filename, cls))
-                if g is None:
-                    continue
-                inter = _intersection(d.onset, d.offset, g.onset.values,
-                                      g.offset.values).sum()
-                if inter / d.dur >= cfg.cttc_threshold:
-                    ct[cidx[d.event_label], cidx[cls]] += 1
+    if cfg.alpha_ct > 0 and len(inval):
+        cross = inval.merge(gt, on="filename", suffixes=("", "_gt"))
+        cross = cross[cross.event_label != cross.event_label_gt]
+        if len(cross):
+            cross["inter"] = _intersection(cross.onset.values,
+                                           cross.offset.values,
+                                           cross.onset_gt.values,
+                                           cross.offset_gt.values)
+            s = cross.groupby(["det_id", "event_label_gt"]).agg(
+                inter=("inter", "sum"), dur=("dur", "first"),
+                det_cls=("event_label", "first")).reset_index()
+            hit = s[(s.dur > 0)
+                    & (s.inter / np.maximum(s.dur, 1e-30)
+                       >= cfg.cttc_threshold)]
+            for dc, gc in zip(hit.det_cls.values,
+                              hit.event_label_gt.values):
+                ct[cidx[dc], cidx[gc]] += 1
     return tp, fp, ct
 
 
@@ -150,19 +170,30 @@ def compute_psds(detections: Dict[float, pd.DataFrame],
             efpr = efpr + cfg.alpha_ct * ctr
         ops.append((tpr, efpr))
 
-    # PSD-ROC: per class running-max TPR vs eFPR staircase
-    grid = np.linspace(0, e_max, 1001)
-    tpr_at = np.zeros((len(grid), C))
+    # PSD-ROC exactly as psds_eval (psds.py:700-786,1004-1078): pad a
+    # zero operating point per class, evaluate each class's running-max
+    # staircase at the UNION of all eFPR breakpoints (left step), then
+    # integrate mean - alpha_st*std with left rectangles up to e_max.
+    tprs = np.stack([op[0] for op in ops] + [np.zeros(C)], axis=0)
+    efprs = np.stack([op[1] for op in ops] + [np.zeros(C)], axis=0)
+    xp = np.unique(efprs[np.isfinite(efprs)])
+    curves = np.zeros((C, xp.size))
     for c in range(C):
-        pts = sorted([(op[1][c], op[0][c]) for op in ops])
-        xs = np.array([p[0] for p in pts])
-        ys = np.maximum.accumulate(np.array([p[1] for p in pts]))
-        for gi, e in enumerate(grid):
-            k = np.searchsorted(xs, e, side="right") - 1
-            tpr_at[gi, c] = ys[k] if k >= 0 else 0.0
-    etpr = tpr_at.mean(axis=1) - alpha_st * tpr_at.std(axis=1)
-    etpr = np.maximum(etpr, 0.0)
-    return float(np.trapezoid(etpr, grid) / e_max)
+        order = np.argsort(efprs[:, c], kind="stable")
+        xs = efprs[order, c]
+        ys = np.maximum.accumulate(tprs[order, c])
+        idx = np.searchsorted(xs, xp, side="right") - 1
+        curves[c] = np.where(idx >= 0, ys[np.maximum(idx, 0)], 0.0)
+    etpr = curves.mean(axis=0) - alpha_st * curves.std(axis=0)
+    etpr = np.maximum(np.nan_to_num(etpr), 0.0)
+    # left-rectangle area over [0, e_max] (psds_eval._auc inserts e_max
+    # carrying the previous y)
+    if e_max not in xp:
+        k = int(np.searchsorted(xp, e_max))
+        xp = np.insert(xp, k, e_max)
+        etpr = np.insert(etpr, k, etpr[k - 1] if k > 0 else 0.0)
+    m = xp <= e_max
+    return float(np.sum(np.diff(xp[m]) * etpr[m][:-1]) / e_max)
 
 
 def event_based_f1(detections: pd.DataFrame, ground_truth: pd.DataFrame,

@@ -1,10 +1,9 @@
 """Analytic PSDS validation on hand-computed staircases.
 
-(The reference's vendored psds_eval cannot be executed for
-cross-validation here: it predates pandas 3/numpy 2 and its TP-ratio
-tables come out corrupted under the pinned environment. These tests
-instead check compute_psds against exactly derivable cases of the PSDS
-definition.)
+These check compute_psds against exactly derivable cases of the PSDS
+definition; test_psds_crossval.py additionally cross-validates against
+the reference's vendored psds_eval (patched in-memory for
+numpy 2 / pandas 3) on randomized multi-class sets.
 """
 import numpy as np
 import pandas as pd
