@@ -63,6 +63,8 @@ class FramePretrainConfig:
     optimizer: OptimizerConfig = OptimizerConfig()
     mel: MelConfig = MelConfig(stft_precision="default")
     dtype: str = "float32"
+    # fused Pallas MHA (ops/pallas_mha.py); only active on TPU backends
+    fused_attention: bool = True
 
     @property
     def out_frames(self) -> int:
@@ -128,6 +130,7 @@ class FrameMethod:
             patch_w=cfg.patch_w,
             pos_type=cfg.pos_type,
             dtype=jnp.dtype(cfg.dtype),
+            fused_attention=cfg.fused_attention,
         )
         enc_fn = {"tiny": frame_ast_tiny, "small": frame_ast_small,
                   "base": frame_ast_base}[cfg.arch]

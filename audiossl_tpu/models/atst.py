@@ -189,9 +189,23 @@ class AudioTransformer(nn.Module):
         return plen + self.nprompt
 
     def run_blocks(self, x, plen, deterministic=True, collect_from=None):
-        """Run all blocks; optionally collect raw outputs of the last-n."""
+        """Run all blocks; optionally collect raw outputs of the last-n.
+
+        With the fused-attention kernel, the token dim is padded ONCE
+        here to a 128-multiple (padded tokens get length-masked out),
+        so the Pallas MHA sees lane-aligned sequences with no per-layer
+        pad/slice traffic; outputs are sliced back to the logical
+        length. On the MXU a 250-token einsum is padded to the same
+        256 tiles anyway, so this costs no extra FLOPs.
+        """
+        N0 = x.shape[1]
+        pad = (-N0) % 128 if self.fused_attention else 0
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
         attn_mask = None
         lengths = self._attn_lengths(plen)
+        if lengths is None and pad:
+            lengths = jnp.full((x.shape[0],), N0, jnp.int32)
         if lengths is not None:
             attn_mask = length_to_attn_mask(lengths, x.shape[1])
         collected = []
@@ -199,6 +213,9 @@ class AudioTransformer(nn.Module):
             x = blk(x, attn_mask, deterministic)
             if collect_from is not None and i >= collect_from:
                 collected.append(x)
+        if pad:
+            x = x[:, :N0]
+            collected = [c[:, :N0] for c in collected]
         return x, collected
 
     # ----------------------------- pretrain paths -------------------- #

@@ -53,33 +53,25 @@ class Attention(nn.Module):
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, hd]
-        # the Pallas kernel only wins for long sequences; at ATST's 250
-        # tokens XLA's batched einsum pipeline is faster (measured on
-        # v5e: 3.0 ms vs 5.2 ms for 96x12 heads), so it is opt-in
         use_fused = (self.fused_attention and not return_attention
                      and self.attn_drop == 0.0
                      and jax.default_backend() == "tpu")
         if use_fused:
-            # fused softmax(QK^T+mask)V Pallas kernel — keeps the [N, N]
-            # probabilities in VMEM (ops/pallas_attention.py)
-            from audiossl_tpu.ops.pallas_attention import fused_attention
+            # fused softmax(QK^T+mask)V Pallas kernel — the [N, N]
+            # scores/probabilities never leave VMEM, and dq/dk/dv come
+            # back as one qkv-shaped cotangent (ops/pallas_mha.py)
+            from audiossl_tpu.ops.pallas_mha import fused_mha
 
-            H = self.num_heads
-            q2 = jnp.transpose(q, (0, 2, 1, 3)).reshape(B * H, N, head_dim)
-            k2 = jnp.transpose(k, (0, 2, 1, 3)).reshape(B * H, N, head_dim)
-            v2 = jnp.transpose(v, (0, 2, 1, 3)).reshape(B * H, N, head_dim)
+            qkv5 = jnp.transpose(qkv, (0, 2, 3, 1, 4))  # [B, 3, H, N, d]
             if attn_mask is not None:
-                m2 = jnp.broadcast_to(
-                    attn_mask[:, 0, 0, :][:, None, :], (B, H, N)
-                ).reshape(B * H, N).astype(jnp.float32)
+                m2 = attn_mask[:, 0, 0, :].astype(jnp.float32)
             else:
-                m2 = jnp.zeros((B * H, N), jnp.float32)
-            o = fused_attention(q2, k2, v2, m2, scale)
-            out = jnp.transpose(
-                o.reshape(B, H, N, head_dim), (0, 2, 1, 3)
-            ).reshape(B, N, C).astype(x.dtype)
+                m2 = jnp.zeros((B, N), jnp.float32)
+            o = fused_mha(qkv5, m2, scale)  # [B, H, N, d]
+            out = jnp.transpose(o, (0, 2, 1, 3)).reshape(B, N, C)
+            out = out.astype(x.dtype)
         else:
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
             attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
             if attn_mask is not None:
                 attn = attn + attn_mask.astype(attn.dtype)
