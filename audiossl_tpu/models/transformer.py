@@ -52,25 +52,23 @@ class Attention(nn.Module):
         scale = head_dim ** -0.5
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         use_fused = (self.fused_attention and not return_attention
                      and self.attn_drop == 0.0
                      and jax.default_backend() == "tpu")
         if use_fused:
-            # fused softmax(QK^T+mask)V Pallas kernel — the [N, N]
-            # scores/probabilities never leave VMEM, and dq/dk/dv come
-            # back as one qkv-shaped cotangent (ops/pallas_mha.py)
+            # fused softmax(QK^T+mask)V Pallas kernel — consumes the
+            # packed [B, N, 3C] projection and emits [B, N, C], so no
+            # transposes appear at the kernel boundary and the [N, N]
+            # scores/probabilities never leave VMEM (ops/pallas_mha.py)
             from audiossl_tpu.ops.pallas_mha import fused_mha
 
-            qkv5 = jnp.transpose(qkv, (0, 2, 3, 1, 4))  # [B, 3, H, N, d]
             if attn_mask is not None:
                 m2 = attn_mask[:, 0, 0, :].astype(jnp.float32)
             else:
                 m2 = jnp.zeros((B, N), jnp.float32)
-            o = fused_mha(qkv5, m2, scale)  # [B, H, N, d]
-            out = jnp.transpose(o, (0, 2, 1, 3)).reshape(B, N, C)
-            out = out.astype(x.dtype)
+            out = fused_mha(qkv, m2, self.num_heads, scale).astype(x.dtype)
         else:
+            qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
             attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
             if attn_mask is not None:

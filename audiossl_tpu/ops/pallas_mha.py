@@ -1,38 +1,44 @@
 """Fused multi-head attention Pallas kernel for short sequences.
 
 Replaces the r1 ``ops/pallas_attention.fused_attention`` on the
-transformer hot path (VERDICT r1 weak #1). Two measured facts on v5e
-drive the design:
+transformer hot path (VERDICT r1 weak #1). Three measured facts on
+v5e drive the design:
 
-* **Lane alignment decides DMA cost.** A ``[..., N, d]`` block with
-  d=64 uses 64 of 128 lanes — every DMA moves 2x the bytes. All
-  kernel-side arrays here are ``[..., d, N]`` with N a 128-multiple
-  (measured: ~340 GB/s vs ~130 GB/s for d-minor blocks), and the
-  boundary transposes fold into the adjacent Dense matmuls.
+* **Boundary layout decides everything.** The kernel consumes the raw
+  qkv-projection output ``[B, N, 3C]`` and produces ``[B, N, C]`` —
+  exactly the layouts the surrounding Dense matmuls want — so XLA
+  inserts **zero** transposes at the kernel boundary. (A ``[B,H,N,d]``
+  interface made XLA fuse the head-transpose into the out-projection
+  dot, turning a 2.4 ms matmul into a 43 ms one.) Heads are sliced
+  from the packed block in VMEM, where the 64-lane-offset relayouts
+  are effectively free; N is padded to a 128-multiple once per
+  encoder pass (models/atst.run_blocks), so every DMA is lane-aligned.
 * **The VPU, not the MXU, is the softmax bottleneck** (~200 G
-  elementwise-ops/s ⇒ a 5-op softmax over 100 M scores costs ~2.5 ms).
-  The kernel makes ``exp`` the only [N, N]-shaped VPU chain:
+  elementwise-ops/s ⇒ a 5-op softmax over 100 M scores costs ~2.5 ms,
+  more than all attention matmuls together). The kernel makes ``exp``
+  the only [N, N]-shaped VPU chain:
 
   - no max-subtraction (softmax is shift-invariant; f32 exp is safe
     for |logit| < 88, far above anything a LayerNorm'd transformer
     produces);
   - the softmax denominator comes from the MXU: v is augmented with a
-    row carrying the 0/1 key-validity mask, so one dot yields both
+    column carrying the 0/1 key-validity mask, so one dot yields both
     ``exp(s) @ v`` and the per-query normalizer — and masking costs
-    nothing on [N, N] (invalid keys are zeroed in k/v; zero scores
-    exponentiate to 1 but are excluded by the validity row);
+    nothing on [N, N] (invalid keys are zeroed in k/v; their scores
+    exponentiate to 1 but are excluded by the validity column);
   - backward uses the flash-attention delta trick
-    (delta = rowsum(do * o)) and folds every per-row 1/denominator
-    factor into d-wide dot operands, never touching [N, N];
+    (delta = rowsum(do * o), computed by a tiny MXU dot) and folds
+    every per-row 1/denominator factor into d-wide operands;
   - invalid keys' dk/dv rows are re-zeroed: the exact-softmax
     gradient there is 0 (the reference's -10000 additive mask leaves
     ~e^-10000 noise instead).
 
 * **bf16 MXU dots** with ``preferred_element_type=f32`` accumulation;
   one grid cell per batch row iterates the heads, so [N, N] buffers
-  live and die in VMEM. At ATST shapes the dots ride entirely under
-  the DMA shadow — the kernel is bandwidth-bound at ~50 MB per
-  forward call vs ~1 GB of score traffic on the XLA einsum path.
+  live and die in VMEM. At ATST shapes the kernel is DMA-bound at
+  ~50 MB per forward call vs ~1 GB of score traffic on the XLA einsum
+  path (measured end-to-end: fwd 0.8 ms vs 1.4 ms, bwd 1.2 ms vs
+  ~3.9 ms at B=128, H=12, N=256, d=64).
 
 Semantics match ``models/transformer.Attention`` (key mask, f32
 softmax); N is bounded by the [N, N] f32 blocks in VMEM.
@@ -49,82 +55,77 @@ from jax.experimental.pallas import tpu as pltpu
 MAX_SEQ = 1536
 
 
-def _fwd_kernel(qkv_ref, valid_ref, o_ref, *, scale, H):
-    valid = valid_ref[0, 0].astype(jnp.float32)[None, :]  # [1, N] keys
+def _fwd_kernel(x_ref, v_ref, o_ref, *, scale, H, d):
+    C = H * d
+    vrow = v_ref[0, 0].astype(jnp.float32)[:, None]  # [N, 1] key mask
+    xb = x_ref[0]  # [N, 3C]
     for g in range(H):
-        qT = qkv_ref[0, 0, g]  # [d, N] bf16
-        kT = qkv_ref[0, 1, g]
-        vT = qkv_ref[0, 2, g]
-        kzT = (kT.astype(jnp.float32) * valid).astype(kT.dtype)
-        # validity row -> the same dot that computes exp(s) @ v also
+        q = xb[:, g * d:(g + 1) * d]  # [N, d]
+        k = xb[:, C + g * d:C + (g + 1) * d]
+        v = xb[:, 2 * C + g * d:2 * C + (g + 1) * d]
+        kz = (k.astype(jnp.float32) * vrow).astype(k.dtype)
+        # validity column -> the same dot that computes exp(s) @ v also
         # yields the softmax denominator, excluding invalid keys
-        vvT = jnp.concatenate(
-            [vT.astype(jnp.float32) * valid, valid], axis=0
-        ).astype(vT.dtype)  # [d+1, N]
+        vv = jnp.concatenate(
+            [v.astype(jnp.float32) * vrow, vrow], axis=1).astype(v.dtype)
         s = jax.lax.dot_general(
-            qT, kzT, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [N, N] (q, key)
-        e = jnp.exp(s).astype(qT.dtype)  # the only [N, N] VPU chain
-        # oT2[c, n] = sum_m vv[c, m] e[n, m]
-        oT2 = jax.lax.dot_general(
-            vvT, e, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [d+1, N]
+            q, kz, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [N, N]
+        e = jnp.exp(s).astype(q.dtype)  # the only [N, N] VPU chain
+        o2 = jnp.dot(e, vv, preferred_element_type=jnp.float32)  # [N, d+1]
         # +eps: a query with zero valid keys yields 0 instead of NaN
-        r = 1.0 / (oT2[-1:, :] + 1e-30)  # [1, N] per-query denominators
-        o_ref[0, g] = (oT2[:-1, :] * r).astype(o_ref.dtype)
+        r = 1.0 / (o2[:, -1:] + 1e-30)
+        o_ref[0, :, g * d:(g + 1) * d] = (o2[:, :-1] * r).astype(o_ref.dtype)
 
 
-def _bwd_kernel(qkv_ref, valid_ref, do_ref, dqkv_ref, *, scale, H):
-    valid = valid_ref[0, 0].astype(jnp.float32)[None, :]  # [1, N]
-    d_dim = qkv_ref.shape[3]
-    ones_col = jnp.ones((d_dim, 1), qkv_ref.dtype)
+def _bwd_kernel(x_ref, v_ref, do_ref, dx_ref, *, scale, H, d):
+    C = H * d
+    vrow = v_ref[0, 0].astype(jnp.float32)[:, None]  # [N, 1]
+    xb = x_ref[0]
+    ones_col = jnp.ones((d, 1), xb.dtype)
     for g in range(H):
-        qT = qkv_ref[0, 0, g]  # [d, N]
-        kT = qkv_ref[0, 1, g]
-        vT = qkv_ref[0, 2, g]
-        doT = do_ref[0, g].astype(jnp.float32)  # [d, N]
-        kzT = (kT.astype(jnp.float32) * valid).astype(kT.dtype)
-        vzf = vT.astype(jnp.float32) * valid
-        vvT = jnp.concatenate([vzf, valid], axis=0).astype(vT.dtype)
+        q = xb[:, g * d:(g + 1) * d]
+        k = xb[:, C + g * d:C + (g + 1) * d]
+        v = xb[:, 2 * C + g * d:2 * C + (g + 1) * d]
+        do = do_ref[0, :, g * d:(g + 1) * d].astype(jnp.float32)  # [N, d]
+        kz = (k.astype(jnp.float32) * vrow).astype(k.dtype)
+        vzf = v.astype(jnp.float32) * vrow
+        vv = jnp.concatenate([vzf, vrow], axis=1).astype(v.dtype)
         s = jax.lax.dot_general(
-            qT, kzT, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [N(q), N(key)]
+            q, kz, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
         e = jnp.exp(s)  # [N, N] f32
-        eb = e.astype(qT.dtype)
-        oT2 = jax.lax.dot_general(
-            vvT, eb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [d+1, N(q)]
-        r_row = 1.0 / (oT2[-1:, :] + 1e-30)  # [1, N(q)]
-        oT = oT2[:-1, :] * r_row  # [d, N(q)]
-        # delta[q] = sum_c do[c, q] o[c, q], shaped [N(q), 1] via MXU
-        delta_col = jax.lax.dot_general(
-            (doT * oT).astype(qT.dtype), ones_col,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [N(q), 1]
-        dorT = (doT * r_row).astype(qT.dtype)  # do with 1/den folded in
-        # dp[q, m] = sum_c do[c, q] vz[c, m]
-        dp = jax.lax.dot_general(
-            dorT, vzf.astype(vT.dtype), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [N(q), N(key)]
-        # ds = p (dp - delta); p = e * r -> fold r into dp (above) and
-        # delta; 3 VPU ops on [N, N]
-        t = (e * (dp - delta_col * r_row.T)).astype(qT.dtype)
-        # dq[q, :] = scale * t[q, :] @ kz  -> dqT [d, N(q)]
-        dqT = jax.lax.dot_general(
-            kzT, t, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        # dk[m, :] = scale * sum_q t[q, m] q[q, :] -> dkT [d, N(key)]
-        dkT = jax.lax.dot_general(
-            qT, t, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        # dv[m, :] = sum_q p[q, m] do[q, :] -> dvT [d, N(key)]
-        dvT = jax.lax.dot_general(
-            dorT, e.astype(qT.dtype), (((1,), (0,)), ((), ())),
+        eb = e.astype(q.dtype)
+        o2 = jnp.dot(eb, vv, preferred_element_type=jnp.float32)
+        r = 1.0 / (o2[:, -1:] + 1e-30)  # [N, 1]
+        o = o2[:, :-1] * r
+        # delta[q] = sum_c do[q, c] o[q, c] via a tiny MXU dot -> [N, 1]
+        delta = jax.lax.dot_general(
+            (do * o).astype(xb.dtype), ones_col,
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        dqkv_ref[0, 0, g] = dqT.astype(dqkv_ref.dtype)
+        dor = (do * r).astype(q.dtype)  # do with 1/den folded in
+        # dp[q, m] = sum_c do[q, c] vz[m, c]  (r folded via dor)
+        dp = jax.lax.dot_general(
+            dor, vzf.astype(v.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [N, N]
+        # ds = p (dp - delta); p = e r -> r already in dp, fold into delta
+        t = (e * (dp - delta * r)).astype(q.dtype)  # 2 VPU ops on [N, N]
+        dq = jax.lax.dot_general(
+            t, kz, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [N, d]
+        dk = jax.lax.dot_general(
+            t, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [N(key), d]
+        dv = jax.lax.dot_general(
+            eb, dor, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # p^T do  [N(key), d]
+        dx_ref[0, :, g * d:(g + 1) * d] = dq.astype(dx_ref.dtype)
         # exact-softmax gradient: invalid keys receive zero grad
-        dqkv_ref[0, 1, g] = (dkT * valid).astype(dqkv_ref.dtype)
-        dqkv_ref[0, 2, g] = (dvT * valid).astype(dqkv_ref.dtype)
+        dx_ref[0, :, C + g * d:C + (g + 1) * d] = (
+            dk * vrow).astype(dx_ref.dtype)
+        dx_ref[0, :, 2 * C + g * d:2 * C + (g + 1) * d] = (
+            dv * vrow).astype(dx_ref.dtype)
 
 
 def _to_valid(mask):
@@ -132,96 +133,92 @@ def _to_valid(mask):
     return (mask > -1.0).astype(jnp.float32)
 
 
-def _pad_inputs(qkvT, valid):
+def _pad_inputs(x, valid):
     """Pad N up to a lane multiple; padded keys get validity 0."""
-    B, _, H, d, N = qkvT.shape
+    B, N, _ = x.shape
     n_pad = (-N) % 128
     if n_pad:
-        qkvT = jnp.pad(qkvT, ((0, 0), (0, 0), (0, 0), (0, 0), (0, n_pad)))
+        x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)))
         valid = jnp.pad(valid, ((0, 0), (0, n_pad)))
-    return qkvT, valid, N, N + n_pad
+    return x, valid, N, N + n_pad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def fused_mha(qkv, mask, scale, interpret=False):
-    """qkv: [B, 3, H, N, d] (bf16/f32); mask: [B, N] additive key mask
-    (0 or -10000). -> [B, H, N, d] in qkv.dtype.
-
-    Internally everything is N-minor ([B, 3, H, d, N]); the boundary
-    transposes fuse into the caller's qkv/out Dense matmuls.
-    """
-    out, _ = _mha_fwd(qkv, mask, scale, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_mha(qkv, mask, num_heads, scale, interpret=False):
+    """qkv: [B, N, 3C] packed q|k|v projections, head-major within each
+    C block (channel t*C + g*d + i = head g, dim i of q/k/v for
+    t=0/1/2 — the ``reshape(B, N, 3, H, d)`` order). mask: [B, N]
+    additive key mask (0 or -10000). -> [B, N, C] in qkv.dtype."""
+    out, _ = _mha_fwd(qkv, mask, num_heads, scale, interpret)
     return out
 
 
-def _mha_fwd(qkv, mask, scale, interpret):
-    B, _, H, N0, d = qkv.shape
+def _mha_fwd(qkv, mask, num_heads, scale, interpret):
+    B, N0, C3 = qkv.shape
+    C = C3 // 3
+    d = C // num_heads
     if N0 > MAX_SEQ:
         raise ValueError(f"fused_mha: N={N0} > {MAX_SEQ}")
-    qkvT = jnp.swapaxes(qkv, 3, 4)  # [B, 3, H, d, N]
-    qkvp, validp, N, Np = _pad_inputs(qkvT, _to_valid(mask))
-    outT = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, H=H),
+    xp, validp, N, Np = _pad_inputs(qkv, _to_valid(mask))
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, H=num_heads, d=d),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 3, H, d, Np), lambda b: (b, 0, 0, 0, 0),
+            pl.BlockSpec((1, Np, C3), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Np), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H, d, Np), lambda b: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, Np, C), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, d, Np), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Np, C), qkv.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * Np * Np * d,
-            bytes_accessed=(qkvp.size + B * Np * H * d)
-            * qkv.dtype.itemsize,
-            transcendentals=B * H * Np * Np,
+            flops=4 * B * num_heads * Np * Np * d,
+            bytes_accessed=(xp.size + B * Np * C) * qkv.dtype.itemsize,
+            transcendentals=B * num_heads * Np * Np,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(qkvp, validp[:, None, :])
+    )(xp, validp[:, None, :])
     if Np != N:
-        outT = outT[:, :, :, :N]
-    return jnp.swapaxes(outT, 2, 3), (qkv, mask)
+        out = out[:, :N]
+    return out, (qkv, mask)
 
 
-def _mha_bwd(scale, interpret, res, g):
+def _mha_bwd(num_heads, scale, interpret, res, g):
     qkv, mask = res
-    B, _, H, N0, d = qkv.shape
-    qkvT = jnp.swapaxes(qkv, 3, 4)
-    qkvp, validp, N, Np = _pad_inputs(qkvT, _to_valid(mask))
-    gT = jnp.swapaxes(g, 2, 3)  # [B, H, d, N]
-    gp = gT if Np == N else jnp.pad(
-        gT, ((0, 0), (0, 0), (0, 0), (0, Np - N)))
-    dqkvT = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, H=H),
+    B, N0, C3 = qkv.shape
+    C = C3 // 3
+    d = C // num_heads
+    xp, validp, N, Np = _pad_inputs(qkv, _to_valid(mask))
+    gp = g if Np == N else jnp.pad(g, ((0, 0), (0, Np - N), (0, 0)))
+    dx = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, H=num_heads, d=d),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 3, H, d, Np), lambda b: (b, 0, 0, 0, 0),
+            pl.BlockSpec((1, Np, C3), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Np), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, d, Np), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, Np, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 3, H, d, Np),
-                               lambda b: (b, 0, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, Np, C3), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 3, H, d, Np), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Np, C3), qkv.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=13 * B * H * Np * Np * d,
-            bytes_accessed=2 * qkvp.size * qkv.dtype.itemsize,
-            transcendentals=B * H * Np * Np,
+            flops=13 * B * num_heads * Np * Np * d,
+            bytes_accessed=2 * xp.size * qkv.dtype.itemsize,
+            transcendentals=B * num_heads * Np * Np,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(qkvp, validp[:, None, :], gp.astype(qkv.dtype))
+    )(xp, validp[:, None, :], gp.astype(qkv.dtype))
     if Np != N:
-        dqkvT = dqkvT[:, :, :, :, :N]
-    return jnp.swapaxes(dqkvT, 3, 4), None
+        dx = dx[:, :N]
+    return dx, None
 
 
 fused_mha.defvjp(_mha_fwd, _mha_bwd)

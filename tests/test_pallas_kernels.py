@@ -52,12 +52,17 @@ def test_fused_attention_grad_interpret():
                                    atol=1e-4)
 
 
-def _ref_mha(qkv, mask, scale):
-    q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]  # [B, H, N, d]
-    s = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
+def _ref_mha_packed(x, mask, H, scale):
+    """Reference einsum attention on the packed [B, N, 3C] layout."""
+    B, N, C3 = x.shape
+    d = C3 // 3 // H
+    qkv = x.reshape(B, N, 3, H, d)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, d]
+    s = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
     s = s + mask[:, None, None, :]
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhnm,bhmd->bhnd", p, v)
+    o = jnp.einsum("bhnm,bmhd->bnhd", p, v)
+    return o.reshape(B, N, H * d)
 
 
 def test_fused_mha_fwd_interpret():
@@ -65,11 +70,11 @@ def test_fused_mha_fwd_interpret():
 
     B, H, N, d = 2, 3, 40, 16
     rng = np.random.RandomState(0)
-    qkv = jnp.asarray(rng.randn(B, 3, H, N, d).astype(np.float32))
+    x = jnp.asarray(rng.randn(B, N, 3 * H * d).astype(np.float32))
     mask = jnp.where(jnp.arange(N)[None, :] < jnp.array([[25], [40]]),
                      0.0, -10000.0)
-    want = _ref_mha(qkv, mask, d ** -0.5)
-    got = fused_mha(qkv, mask, d ** -0.5, True)
+    want = _ref_mha_packed(x, mask, H, d ** -0.5)
+    got = fused_mha(x, mask, H, d ** -0.5, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5)
 
@@ -79,22 +84,21 @@ def test_fused_mha_grad_interpret():
 
     B, H, N, d = 2, 2, 24, 8
     rng = np.random.RandomState(1)
-    qkv = jnp.asarray(rng.randn(B, 3, H, N, d).astype(np.float32))
+    x = jnp.asarray(rng.randn(B, N, 3 * H * d).astype(np.float32))
     mask = jnp.where(jnp.arange(N)[None, :] < jnp.array([[16], [24]]),
                      0.0, -10000.0)
     scale = d ** -0.5
 
-    def loss_ref(qkv):
-        return jnp.sum(jnp.sin(_ref_mha(qkv, mask, scale)))
+    def loss_ref(x):
+        return jnp.sum(jnp.sin(_ref_mha_packed(x, mask, H, scale)))
 
-    def loss_fused(qkv):
-        return jnp.sum(jnp.sin(fused_mha(qkv, mask, scale, True)))
+    def loss_fused(x):
+        return jnp.sum(jnp.sin(fused_mha(x, mask, H, scale, True)))
 
-    gr = jax.grad(loss_ref)(qkv)
-    gf = jax.grad(loss_fused)(qkv)
+    gr = jax.grad(loss_ref)(x)
+    gf = jax.grad(loss_fused)(x)
     # invalid-key dk/dv: the reference leaves exp(-10000)-sized noise,
-    # the kernel produces exact zeros -- compare where valid, assert
-    # near-zero elsewhere
+    # the kernel produces exact zeros; both are < atol
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-4)
 
 
@@ -105,13 +109,13 @@ def test_fused_mha_zero_length_row_finite():
 
     B, H, N, d = 2, 2, 16, 8
     rng = np.random.RandomState(2)
-    qkv = jnp.asarray(rng.randn(B, 3, H, N, d).astype(np.float32))
+    x = jnp.asarray(rng.randn(B, N, 3 * H * d).astype(np.float32))
     mask = jnp.stack([jnp.zeros(N), jnp.full(N, -10000.0)])
 
-    def loss(qkv):
-        return jnp.sum(fused_mha(qkv, mask, d ** -0.5, True) ** 2)
+    def loss(x):
+        return jnp.sum(fused_mha(x, mask, H, d ** -0.5, True) ** 2)
 
-    val, grad = jax.value_and_grad(loss)(qkv)
+    val, grad = jax.value_and_grad(loss)(x)
     assert np.isfinite(float(val))
     assert np.all(np.isfinite(np.asarray(grad)))
 
