@@ -32,7 +32,18 @@ class BatchLoader:
                  shuffle: bool = True, drop_last: bool = True,
                  seed: int = 0, num_threads: int = 8,
                  prefetch: int = 2, epoch: int = 0,
-                 include_labels: bool = True, weights=None):
+                 include_labels: bool = True, weights=None,
+                 process_index: int = 0, process_count: int = 1):
+        """batch_size is the GLOBAL batch; with process_count > 1 each
+        process reads only its contiguous slice of every (identically
+        shuffled) global batch and yields batch_size // process_count
+        rows — the union over processes is exactly the single-host
+        stream (per-host sharded input for pod slices, SURVEY §2.8)."""
+        if batch_size % max(process_count, 1):
+            raise ValueError("global batch_size must divide evenly "
+                             f"across {process_count} processes")
+        self.process_index = process_index
+        self.process_count = process_count
         self.dataset = dataset
         self.batch_size = batch_size
         self.pad_samples = pad_samples
@@ -96,6 +107,12 @@ class BatchLoader:
         nb = len(self)
         chunks = [order[i * self.batch_size:(i + 1) * self.batch_size]
                   for i in range(nb)]
+        if self.process_count > 1:
+            # same shuffled order on every process (seeded identically);
+            # each takes its contiguous per-host slice of every batch
+            local = self.batch_size // self.process_count
+            lo = self.process_index * local
+            chunks = [c[lo:lo + local] for c in chunks]
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

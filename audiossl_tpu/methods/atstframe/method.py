@@ -111,9 +111,12 @@ def frame_train_views(key, wav, valid, cfg: FramePretrainConfig):
     frames = crop_valid // cfg.mel.hop_length + 1
     v1 = _aug_view(k_v1, mel, frames, cfg, cfg.aug_tea)
     v2 = _aug_view(k_v2, mel, frames, cfg, cfg.aug_stu)
+    # fairseq applies the padding mask before sampling spans; valid
+    # token count per sample = full-height patches along time
+    valid_tok = (frames // cfg.patch_w).astype(jnp.int32)
     mask = make_token_mask(k_mask, B, cfg.num_patches, cfg.mask_ratio,
                            mask_type=cfg.mask_type, span=cfg.mask_len,
-                           min_span=cfg.min_mask_len)
+                           min_span=cfg.min_mask_len, valid=valid_tok)
     mel2 = jnp.concatenate([v1, v2], axis=0)
     frames2 = jnp.concatenate([frames, frames], axis=0)
     mask2 = jnp.concatenate([mask, mask], axis=0)

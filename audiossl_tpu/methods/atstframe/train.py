@@ -60,6 +60,9 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt_interval", type=int, default=5000)
     p.add_argument("--n_devices", type=int, default=None)
+    p.add_argument("--profile_at", type=int, default=None,
+                   help="capture a jax.profiler trace for 10 steps "
+                        "starting at this step")
     p.add_argument("--clip_len", type=float, default=10.0,
                    help="host buffer seconds (full clip length)")
     return p
@@ -96,7 +99,8 @@ def main(argv=None):
         batch_size_per_device=args.batch_size_per_device,
         max_steps=args.max_steps, save_path=args.save_path,
         ckpt_interval=args.ckpt_interval, seed=args.seed,
-        n_devices=args.n_devices, clip_len_s=args.clip_len)
+        n_devices=args.n_devices, clip_len_s=args.clip_len,
+        profile_at=args.profile_at)
 
 
 if __name__ == "__main__":

@@ -55,27 +55,53 @@ def _span_mask(key, batch, num_tokens, starts_count, span_lengths):
     return jnp.any((tok >= s) & (tok < e), axis=1)  # [B, T]
 
 
+def _per_sample_spans(key, batch, num_tokens, ratio, span_for_count,
+                      start_margin, min_masks, valid):
+    """Per-sample (starts, active-count) honoring valid lengths.
+
+    Fairseq applies the padding mask before sampling: the span count is
+    computed from each sample's valid length and starts are drawn inside
+    [0, valid - margin] (reference random_mask.py:5-15 passes
+    padding_mask into compute_mask_indices). Static shapes: K spans are
+    allocated for the full-length case and deactivated per sample."""
+    if valid is None:
+        valid = jnp.full((batch,), num_tokens, dtype=jnp.int32)
+    else:
+        valid = jnp.asarray(valid, dtype=jnp.int32)
+    K = max(min_masks, int(round(ratio * num_tokens / span_for_count)))
+    n_spans = jnp.maximum(
+        min_masks,
+        jnp.round(ratio * valid.astype(jnp.float32)
+                  / span_for_count).astype(jnp.int32))  # [B]
+    hi = jnp.maximum(1, valid - start_margin)  # [B]
+    u = jax.random.uniform(key, (batch, K))
+    starts = jnp.floor(u * hi[:, None].astype(jnp.float32)).astype(jnp.int32)
+    active = jnp.arange(K)[None, :] < n_spans[:, None]  # [B, K]
+    return starts, active, K
+
+
 def block_token_mask(key, batch: int, num_tokens: int, ratio: float,
-                     span: int = 5, min_masks: int = 2):
-    """Fairseq "static" block masking: fixed span length, overlapping spans."""
-    num_spans = max(min_masks, int(round(ratio * num_tokens / span)))
-    ks, = jax.random.split(key, 1)
-    hi = max(1, num_tokens - span + 1)
-    starts = jax.random.randint(ks, (batch, num_spans), 0, hi)
-    lengths = jnp.full((batch, num_spans), span, dtype=jnp.int32)
-    return _span_mask(key, batch, num_tokens, num_spans, (starts, lengths))
+                     span: int = 5, min_masks: int = 2, valid=None):
+    """Fairseq "static" block masking: fixed span length, overlapping
+    spans, span count and start range from each sample's valid length."""
+    starts, active, K = _per_sample_spans(
+        key, batch, num_tokens, ratio, span, span - 1, min_masks, valid)
+    lengths = jnp.where(active, span, 0).astype(jnp.int32)
+    return _span_mask(key, batch, num_tokens, K, (starts, lengths))
 
 
 def uniform_span_mask(key, batch: int, num_tokens: int, ratio: float,
-                      span: int = 5, min_span: int = 2, min_masks: int = 2):
+                      span: int = 5, min_span: int = 2, min_masks: int = 2,
+                      valid=None):
     """Fairseq "uniform" masking: span lengths uniform in [min_span, 2*span]."""
     mean_len = (min_span + 2 * span) / 2.0
-    num_spans = max(min_masks, int(round(ratio * num_tokens / mean_len)))
     k1, k2 = jax.random.split(key)
-    lengths = jax.random.randint(k1, (batch, num_spans), min_span, 2 * span + 1)
-    hi = max(1, num_tokens - 2 * span + 1)
-    starts = jax.random.randint(k2, (batch, num_spans), 0, hi)
-    return _span_mask(key, batch, num_tokens, num_spans, (starts, lengths))
+    starts, active, K = _per_sample_spans(
+        k1, batch, num_tokens, ratio, mean_len, 2 * span - 1, min_masks,
+        valid)
+    lengths = jax.random.randint(k2, (batch, K), min_span, 2 * span + 1)
+    lengths = jnp.where(active, lengths, 0).astype(jnp.int32)
+    return _span_mask(key, batch, num_tokens, K, (starts, lengths))
 
 
 def make_token_mask(key, batch, num_tokens, ratio, mask_type="block",
@@ -84,8 +110,9 @@ def make_token_mask(key, batch, num_tokens, ratio, mask_type="block",
     if mask_type == "random":
         return random_token_mask(key, batch, num_tokens, ratio, valid=valid)
     if mask_type == "block":
-        return block_token_mask(key, batch, num_tokens, ratio, span=span)
+        return block_token_mask(key, batch, num_tokens, ratio, span=span,
+                                valid=valid)
     if mask_type == "uniform":
         return uniform_span_mask(key, batch, num_tokens, ratio, span=span,
-                                 min_span=min_span)
+                                 min_span=min_span, valid=valid)
     raise ValueError(f"unknown mask_type {mask_type!r}")

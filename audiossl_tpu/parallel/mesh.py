@@ -47,6 +47,25 @@ def shard_batch(mesh: Mesh, tree, axis_name: str = "data"):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def shard_batch_multiprocess(mesh: Mesh, tree, axis_name: str = "data"):
+    """Assemble a GLOBAL batch from per-process local shards.
+
+    Each process passes only its own rows (its contiguous slice of the
+    global batch, as produced by ``BatchLoader(process_index=...)``);
+    the returned arrays are globally sharded over `axis_name` without
+    any cross-host data movement (per-host sharded input, SURVEY §2.8
+    TPU mapping — the reference ships one DataLoader per DDP rank).
+    Falls back to shard_batch in single-process runs so the two paths
+    share call sites.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(mesh, tree, axis_name)
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        tree)
+
+
 def replicate_tree(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

@@ -15,7 +15,8 @@ import jax
 import numpy as np
 
 from audiossl_tpu.datasets.pipeline import BatchLoader
-from audiossl_tpu.parallel import data_mesh, replicate_tree, shard_batch
+from audiossl_tpu.parallel import data_mesh, replicate_tree
+from audiossl_tpu.parallel.mesh import shard_batch_multiprocess
 from audiossl_tpu.training.checkpoint import CheckpointManager
 
 
@@ -45,12 +46,23 @@ def run_pretraining(method, dataset, *, batch_size_per_device: int,
                     ckpt_interval: int = 5000, log_interval: int = 50,
                     seed: int = 0, n_devices: Optional[int] = None,
                     loader_threads: int = 8,
-                    clip_len_s: Optional[float] = None):
+                    clip_len_s: Optional[float] = None,
+                    profile_at: Optional[int] = None,
+                    profile_steps: int = 10):
     """Train `method` (ClipMethod / FrameMethod) on `dataset` until
-    max_steps. Returns the final PretrainState."""
+    max_steps. Returns the final PretrainState.
+
+    profile_at: capture a jax.profiler trace (to {save_path}/profile)
+    for `profile_steps` steps starting at that step count.
+
+    On pod slices (jax.process_count() > 1) each host reads only its
+    shard of every global batch and the arrays are assembled with
+    jax.make_array_from_process_local_data — no cross-host input
+    traffic (SURVEY §2.8)."""
     mesh = data_mesh(n_devices)
     n_dev = mesh.shape["data"]
     global_bs = batch_size_per_device * n_dev
+    proc_idx, proc_cnt = jax.process_index(), jax.process_count()
 
     state = method.init_state(jax.random.PRNGKey(seed))
     mgr = None
@@ -87,8 +99,8 @@ def run_pretraining(method, dataset, *, batch_size_per_device: int,
             )
             from audiossl_tpu.datasets.packed import PackedAudioDataset
 
-            if isinstance(dataset, PackedAudioDataset) and \
-                    get_lib() is not None:
+            if proc_cnt == 1 and isinstance(dataset, PackedAudioDataset) \
+                    and get_lib() is not None:
                 return NativeBatchLoader(
                     dataset, global_bs, pad_samples=pad, shuffle=True,
                     seed=seed, epoch=epoch, n_threads=loader_threads)
@@ -97,14 +109,27 @@ def run_pretraining(method, dataset, *, batch_size_per_device: int,
         return BatchLoader(dataset, global_bs, pad_samples=pad,
                            shuffle=True, seed=seed, epoch=epoch,
                            num_threads=loader_threads,
-                           include_labels=False)
+                           include_labels=False,
+                           process_index=proc_idx,
+                           process_count=proc_cnt)
 
+    profiling = False
     while not done:
         loader = make_loader(epoch)
         for batch in loader:
-            batch = shard_batch(mesh, batch)
+            batch = shard_batch_multiprocess(mesh, batch)
+            if profile_at is not None and step == profile_at:
+                jax.profiler.start_trace(
+                    f"{save_path or '.'}/profile")
+                profiling = True
             state, metrics = step_fn(state, batch)
             step += 1
+            if profiling and step >= profile_at + profile_steps:
+                jax.block_until_ready(state)
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"profile trace written to "
+                      f"{save_path or '.'}/profile", flush=True)
             if step % log_interval == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 dt = time.perf_counter() - t0

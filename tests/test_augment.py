@@ -163,6 +163,39 @@ def test_random_mask_respects_valid():
     assert int(m[0, :50].sum()) == k
 
 
+def test_block_mask_respects_valid():
+    """Fairseq applies the padding mask before sampling: spans stay
+    inside each sample's valid region and their count scales with the
+    valid length (reference random_mask.py:5-15)."""
+    key = jax.random.PRNGKey(3)
+    B, N = 64, 100
+    valid = jnp.concatenate([jnp.full((B // 2,), 40, jnp.int32),
+                             jnp.full((B // 2,), 100, jnp.int32)])
+    m = block_token_mask(key, B, N, 0.65, span=5, valid=valid)
+    # nothing masked beyond a sample's valid length + span overhang
+    assert not bool(m[: B // 2, 44:].any())
+    # masked fraction inside the valid region is comparable for short
+    # and long samples (span count scales with valid length)
+    frac_short = float(m[: B // 2, :40].mean())
+    frac_long = float(m[B // 2:, :].mean())
+    assert 0.3 < frac_short <= 0.75
+    assert abs(frac_short - frac_long) < 0.15
+    # at least min_masks spans even for tiny valid lengths
+    tiny = block_token_mask(key, 4, N, 0.65, span=5,
+                            valid=jnp.full((4,), 8, jnp.int32))
+    assert int(tiny[:, :12].sum(axis=1).min()) >= 5
+
+
+def test_uniform_mask_respects_valid():
+    key = jax.random.PRNGKey(4)
+    B, N = 32, 100
+    valid = jnp.full((B,), 30, jnp.int32)
+    m = uniform_span_mask(key, B, N, 0.65, span=5, valid=valid)
+    # spans start inside [0, valid - 2*span + 1); max end = 30-9+10
+    assert not bool(m[:, 31:].any())
+    assert float(m[:, :30].mean()) > 0.2
+
+
 def test_sample_crop_lengths_fixed_and_range():
     k = jax.random.PRNGKey(0)
     fixed = sample_crop_lengths(k, 8, 6.0, 6.0)

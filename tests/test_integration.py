@@ -83,3 +83,53 @@ def test_embedding_api_scene_and_timestamp():
     assert ts.shape == emb.shape[:2]
     # 40 ms spacing (patch_w=4 x 10 ms hop)
     assert float(ts[0, 1] - ts[0, 0]) == pytest.approx(40.0)
+
+
+def test_runner_profile_trace(tmp_path):
+    """--profile_at captures a jax.profiler trace directory mid-run."""
+    data = str(tmp_path / "data")
+    write_synthetic_pack(data, "train", 16, min_s=0.6, max_s=1.0)
+    dataset = PackedAudioDataset(data, "train")
+    cfg = FramePretrainConfig(
+        arch="small", anchor_len=0.5,
+        optimizer=OptimizerConfig(max_steps=10, warmup_steps=2,
+                                  learning_rate=1e-3))
+    save = str(tmp_path / "exp")
+    method = tiny_frame_method(cfg)
+    run_pretraining(method, dataset, batch_size_per_device=2,
+                    max_steps=4, save_path=save, ckpt_interval=100,
+                    log_interval=10, loader_threads=2,
+                    profile_at=1, profile_steps=2)
+    prof = os.path.join(save, "profile")
+    assert os.path.isdir(prof)
+    found = []
+    for root, _dirs, files in os.walk(prof):
+        found.extend(files)
+    assert found, "no trace files captured"
+
+
+def test_per_process_loader_shards_union_to_global():
+    """Two simulated processes read disjoint halves of every global
+    batch; their union equals the single-host stream exactly (per-host
+    sharded input for pod slices, SURVEY §2.8)."""
+    from audiossl_tpu.datasets.pipeline import BatchLoader
+
+    class _DS:
+        def __len__(self):
+            return 24
+
+        def __getitem__(self, i):
+            return np.full(10, float(i), np.float32), i
+
+    kw = dict(batch_size=8, pad_samples=10, shuffle=True, seed=3,
+              num_threads=1, include_labels=True)
+    full = list(BatchLoader(_DS(), **kw))
+    p0 = list(BatchLoader(_DS(), process_index=0, process_count=2, **kw))
+    p1 = list(BatchLoader(_DS(), process_index=1, process_count=2, **kw))
+    assert len(full) == len(p0) == len(p1) == 3
+    for bf, b0, b1 in zip(full, p0, p1):
+        assert b0["wav"].shape[0] == 4 and b1["wav"].shape[0] == 4
+        np.testing.assert_array_equal(
+            np.concatenate([b0["wav"], b1["wav"]]), bf["wav"])
+        np.testing.assert_array_equal(
+            np.concatenate([b0["label"], b1["label"]]), bf["label"])
