@@ -61,6 +61,9 @@ class EncoderAdapter:
     def frame_rate_divisor(self):
         return self.encoder.patch_w
 
+    def token_count(self, n_samples: int) -> int:
+        return n_samples // self.mel.hop_length // self.encoder.patch_w
+
     def frame_embeddings(self, params, wav, valid, train=False,
                          rngs=None):
         spec = log_melspec(wav, valid, self.mel)
@@ -101,6 +104,58 @@ def _distill_atst(ckpt_path: str, arch: str = "base", **kw):
     enc, params = load_encoder(ckpt_path, "frame", arch, spec_w=1001,
                                which="student")
     return EncoderAdapter(encoder=enc, params=params, **kw)
+
+
+@dataclasses.dataclass
+class BEATsAdapter:
+    """BEATs as a frame encoder for SED drivers (reference
+    beats_module.py:19-69): kaldi fbank front-end with the published
+    normalization stats, encoder tokens mean-pooled over the 8 freq
+    patches per time step (AvgPool1d(8, 8)) -> 1 embedding per 16
+    fbank frames."""
+    encoder: object
+    params: dict
+    fbank_mean: float = 15.41663
+    fbank_std: float = 6.55582
+    frozen: bool = True
+
+    @property
+    def embed_dim(self):
+        return self.encoder.cfg.encoder_embed_dim
+
+    @property
+    def frame_rate_divisor(self):
+        # strong labels are pooled by this factor from 100 fps fbank
+        # frames (ManyHotEncoder net_pooling)
+        return self.encoder.cfg.input_patch_size
+
+    def token_count(self, n_samples: int) -> int:
+        frames = 1 + (n_samples - 400) // 160  # kaldi snip_edges
+        return frames // self.encoder.cfg.input_patch_size
+
+    def frame_embeddings(self, params, wav, valid, train=False,
+                         rngs=None):
+        from audiossl_tpu.compat.beats import kaldi_fbank
+
+        fb = kaldi_fbank(wav * 2.0 ** 15)
+        fb = (fb - self.fbank_mean) / (2.0 * self.fbank_std)
+        vf = jnp.maximum(1 + (valid - 400) // 160, 1)
+        toks = self.encoder.apply({"params": params}, fb,
+                                  valid_frames=vf)
+        B, N, D = toks.shape
+        F = 8  # freq patches per time step (128 mels / 16)
+        return toks.reshape(B, N // F, F, D).mean(axis=2)
+
+
+@register_adapter("beats")
+def _beats(ckpt_path: str, **kw):
+    """Released BEATs torch checkpoint -> flax adapter (reference
+    train_dcase.py:155-156 + beats_module.py)."""
+    from audiossl_tpu.compat.beats import load_beats_checkpoint
+
+    kw.pop("arch", None)
+    enc, params = load_beats_checkpoint(ckpt_path)
+    return BEATsAdapter(encoder=enc, params=params, **kw)
 
 
 class EnsembleModel:

@@ -90,7 +90,12 @@ def build_parser():
     p.add_argument("--data_path", required=True)
     p.add_argument("--save_path", default=None)
     p.add_argument("--arch", default="base",
-                   choices=["tiny", "small", "base"])
+                   choices=["tiny", "small", "base",
+                            "frameatst", "clipatst", "distillatst",
+                            "beats"],
+                   help="own frame-AST size tier, or a comparison-"
+                        "model adapter name (reference "
+                        "train_dcase.py:139-175 dispatch)")
     p.add_argument("--learning_rate", type=float, default=1e-1)
     p.add_argument("--batch_size_synth", type=int, default=128)
     p.add_argument("--batch_size_weak", type=int, default=128)
@@ -105,9 +110,18 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     info = get_dataset("dcase")
-    enc_mod, enc_params = load_encoder(
-        args.pretrained_ckpt_path, "frame", args.arch, spec_w=1001)
-    encoder = dcase_encoder(net_pooling=enc_mod.patch_w)
+    if args.arch in ("tiny", "small", "base"):
+        enc_mod, enc_params = load_encoder(
+            args.pretrained_ckpt_path, "frame", args.arch, spec_w=1001)
+        net_pooling = enc_mod.patch_w
+    else:
+        from audiossl_tpu.downstream.comparison_models import get_adapter
+
+        adapter = get_adapter(args.arch,
+                              ckpt_path=args.pretrained_ckpt_path)
+        enc_mod, enc_params = adapter, adapter.params
+        net_pooling = adapter.frame_rate_divisor
+    encoder = dcase_encoder(net_pooling=net_pooling)
 
     synth, weak = info.creator(args.data_path, split="train",
                                encoder=encoder)

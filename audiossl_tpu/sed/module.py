@@ -60,13 +60,27 @@ class SEDState(NamedTuple):
 
 
 class SEDTask:
-    def __init__(self, encoder: AudioTransformer, cfg: SEDConfig,
-                 teacher_fn=None):
-        """``teacher_fn(wav, valid) -> (strong [B,C,T], weak [B,C])``
+    def __init__(self, encoder, cfg: SEDConfig, teacher_fn=None):
+        """``encoder`` is either an :class:`AudioTransformer` (own
+        model families) or any comparison-model adapter exposing
+        ``frame_embeddings(params, wav, valid, train, rngs)``,
+        ``embed_dim`` and ``token_count(n_samples)`` (reference
+        train_dcase.py:139-175 dispatches 11 such modules).
+
+        ``teacher_fn(wav, valid) -> (strong [B,C,T], weak [B,C])``
         logits of a frozen teacher enables the distill mode (reference
         utils_dcase/model_distill.py: clip-ATST teacher predictions
         added to the SED loss with weight cfg.distill_weight)."""
         self.encoder = encoder
+        if isinstance(encoder, AudioTransformer):
+            from audiossl_tpu.downstream.comparison_models import (
+                EncoderAdapter,
+            )
+
+            self.adapter = EncoderAdapter(encoder=encoder, params=None,
+                                          mel=cfg.mel)
+        else:
+            self.adapter = encoder
         self.cfg = cfg
         self.head = SEDHead(num_labels=cfg.num_labels)
         self.teacher_fn = teacher_fn
@@ -77,21 +91,17 @@ class SEDTask:
 
     # --------------------------------------------------------------- #
     def _frames(self, enc_params, wav, valid, train=False, rngs=None):
-        cfg = self.cfg
-        spec = log_melspec(wav, valid, cfg.mel)
-        length = valid // cfg.mel.hop_length + 1
-        frames = self.encoder.apply(
-            {"params": enc_params}, spec, length, n=1, scene=False,
-            deterministic=not train, rngs=rngs,
-            method=self.encoder.get_intermediate_layers)  # [B, T, D]
+        frames = self.adapter.frame_embeddings(
+            enc_params, wav, valid, train=train, rngs=rngs)  # [B, T, D]
+        length = valid // self.cfg.mel.hop_length + 1
         return frames, length
 
     def init_state(self, rng, enc_params) -> SEDState:
         cfg = self.cfg
         k0, k1 = jax.random.split(rng)
-        T = cfg.n_samples // cfg.mel.hop_length // self.encoder.patch_w
+        T = self.adapter.token_count(cfg.n_samples)
         hp = self.head.init(
-            k0, jnp.zeros((2, T, self.encoder.embed_dim)))["params"]
+            k0, jnp.zeros((2, T, self.adapter.embed_dim)))["params"]
         params = {"enc": enc_params, "head": hp}
         return SEDState(step=jnp.zeros((), jnp.int32),
                         enc_params=enc_params, head_params=hp,
@@ -155,7 +165,8 @@ class SEDTask:
             params = {"enc": state.enc_params, "head": state.head_params}
             updates, opt_state = self.opt.update(g, state.opt_state, params)
             nonlocal decay_tree
-            if decay_tree is None and cfg.lr_scale < 1.0:
+            if decay_tree is None and cfg.lr_scale < 1.0 \
+                    and hasattr(self.encoder, "depth"):
                 # per-layer lr scaling (reference request_param_groups,
                 # utils_as_strong/model_as_strong.py:289-325)
                 from audiossl_tpu.downstream.finetune import (

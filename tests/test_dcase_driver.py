@@ -69,3 +69,82 @@ def test_train_dcase_driver_e2e(tmp_path):
     with open(idx) as f:
         entries = json.load(f)
     assert len(entries) == 1  # 1 epoch -> 1 kept checkpoint
+
+
+def test_train_dcase_driver_beats_arch(tmp_path):
+    """--arch beats: a released-format torch checkpoint (cfg + model
+    state_dict) drives the same SED pipeline through the BEATs adapter
+    (reference train_dcase.py:155-156)."""
+    torch = pytest.importorskip("torch")
+    from audiossl_tpu.downstream.train_dcase import main
+
+    small_cfg = dict(
+        input_patch_size=16, embed_dim=32, conv_bias=False,
+        encoder_layers=2, encoder_embed_dim=48,
+        encoder_ffn_embed_dim=96, encoder_attention_heads=4,
+        layer_norm_first=False, deep_norm=True, conv_pos=128,
+        conv_pos_groups=16, relative_position_embedding=True,
+        num_buckets=80, max_distance=800, gru_rel_pos=True)
+
+    # build a torch state_dict in the released layout from our own
+    # flax init (inverse of convert_beats_state_dict)
+    from audiossl_tpu.compat.beats import BEATsConfig, BEATsEncoder
+
+    cfg = BEATsConfig.from_checkpoint_cfg(small_cfg)
+    enc = BEATsEncoder(cfg)
+    p = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 128)))["params"]
+
+    def t(x):
+        return torch.from_numpy(np.asarray(x, np.float32))
+
+    sd = {
+        "patch_embedding.weight": t(p["patch_embedding"]["kernel"]
+                                    ).permute(3, 2, 0, 1),
+        "layer_norm.weight": t(p["layer_norm"]["scale"]),
+        "layer_norm.bias": t(p["layer_norm"]["bias"]),
+        "post_extract_proj.weight": t(p["post_extract_proj"]["kernel"]).T,
+        "post_extract_proj.bias": t(p["post_extract_proj"]["bias"]),
+        "encoder.layer_norm.weight": t(p["encoder_layer_norm"]["scale"]),
+        "encoder.layer_norm.bias": t(p["encoder_layer_norm"]["bias"]),
+        "encoder.layers.0.self_attn.relative_attention_bias.weight":
+            t(p["relative_attention_bias"]),
+    }
+    # weight-normed pos conv: store v = kernel, g = per-tap norm of v
+    # so that g * v / ||v|| == kernel
+    v = t(p["pos_conv"]["kernel"]).permute(2, 1, 0)  # [out, in/g, k]
+    sd["encoder.pos_conv.0.weight_v"] = v
+    sd["encoder.pos_conv.0.weight_g"] = v.norm(dim=(0, 1), keepdim=True)
+    sd["encoder.pos_conv.0.bias"] = t(p["pos_conv"]["bias"])
+    for i in range(cfg.encoder_layers):
+        lp = p[f"layers_{i}"]
+        pre = f"encoder.layers.{i}"
+        for tn, fn in (("q_proj", "q_proj"), ("k_proj", "k_proj"),
+                       ("v_proj", "v_proj"), ("out_proj", "out_proj"),
+                       ("grep_linear", "grep_linear")):
+            sd[f"{pre}.self_attn.{tn}.weight"] = t(
+                lp["self_attn"][fn]["kernel"]).T
+            sd[f"{pre}.self_attn.{tn}.bias"] = t(
+                lp["self_attn"][fn]["bias"])
+        sd[f"{pre}.self_attn.grep_a"] = t(lp["self_attn"]["grep_a"])
+        for tn in ("fc1", "fc2"):
+            sd[f"{pre}.{tn}.weight"] = t(lp[tn]["kernel"]).T
+            sd[f"{pre}.{tn}.bias"] = t(lp[tn]["bias"])
+        for tn, fn in (("self_attn_layer_norm", "self_attn_layer_norm"),
+                       ("final_layer_norm", "final_layer_norm")):
+            sd[f"{pre}.{tn}.weight"] = t(lp[fn]["scale"])
+            sd[f"{pre}.{tn}.bias"] = t(lp[fn]["bias"])
+
+    ckpt = str(tmp_path / "beats.pt")
+    torch.save({"cfg": small_cfg, "model": sd}, ckpt)
+
+    data = str(tmp_path / "dcase")
+    _make_dcase_dir(data)
+    res = main([
+        "--pretrained_ckpt_path", ckpt, "--data_path", data,
+        "--arch", "beats", "--batch_size_synth", "2",
+        "--batch_size_weak", "2", "--max_epochs", "1",
+        "--warmup_epochs", "0", "--learning_rate", "0.01",
+    ])
+    for k in ("psds1", "psds2", "event_f1"):
+        assert k in res
+        assert 0.0 <= res[k] <= 1.0

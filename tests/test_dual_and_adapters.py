@@ -87,9 +87,10 @@ def test_adapter_registry():
         register_adapter,
     )
 
-    assert {"frameatst", "clipatst", "distillatst"} <= set(list_adapters())
+    assert {"frameatst", "clipatst", "distillatst",
+            "beats"} <= set(list_adapters())
     with pytest.raises(KeyError):
-        get_adapter("beats")
+        get_adapter("ssast-not-registered")
 
     @register_adapter("dummy")
     def _dummy(**kw):
