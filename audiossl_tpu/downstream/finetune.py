@@ -49,6 +49,10 @@ class FinetuneConfig:
     crop_len_s: float = 12.0
     mixup: bool = True
     mixup_alpha: float = 0.5
+    # probability of applying mixup per sample (reference
+    # MixupSpecLabelAudioset.mixup_ratio, downstream/transform.py:117-139;
+    # 1.0 = always, the clip-ATST default)
+    mixup_ratio: float = 1.0
     specaug: bool = False
     rrc: bool = False  # RandomResizeCrop aug (FinetuneTargetTransform)
     freeze_embed: bool = False
@@ -169,10 +173,14 @@ class FinetuneTask:
                 y_soft = jax.nn.one_hot(y, cfg.num_labels)
             # distinct subkeys per augmentation (mixup / specaug / rrc
             # draws must be uncorrelated)
-            k_m, k_l, k_f, k_t, k_r = jax.random.split(k_aug, 5)
+            k_m, k_l, k_f, k_t, k_r, k_p = jax.random.split(k_aug, 6)
             if cfg.mixup:
                 lam = jax.random.beta(k_l, cfg.mixup_alpha,
                                       cfg.mixup_alpha, (wav.shape[0], 1))
+                if cfg.mixup_ratio < 1.0:
+                    keep = jax.random.uniform(
+                        k_p, (wav.shape[0], 1)) >= cfg.mixup_ratio
+                    lam = jnp.where(keep, 1.0, lam)
                 shift = jax.random.randint(k_m, (), 1,
                                            max(wav.shape[0], 2))
                 spec2 = jnp.roll(spec, shift, axis=0)

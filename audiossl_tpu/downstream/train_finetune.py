@@ -37,6 +37,21 @@ def build_parser():
     p.add_argument("--layer_wise_lr", type=float, default=0.75)
     p.add_argument("--mixup", action="store_true", default=True)
     p.add_argument("--no-mixup", dest="mixup", action="store_false")
+    # per-dataset finetune knobs from the reference shell recipes
+    # (shell/downtream/finetune/eval_func.sh args 9-17)
+    p.add_argument("--alpha", type=float, default=0.5,
+                   help="mixup beta parameter")
+    p.add_argument("--mixup_ratio", type=float, default=1.0,
+                   help="probability of mixing each sample")
+    p.add_argument("--mask_aug", action="store_true",
+                   help="SpecAugment-style freq/time masking")
+    p.add_argument("--rrc", action="store_true",
+                   help="RandomResizeCrop on the training mel")
+    p.add_argument("--freeze_embed", action="store_true",
+                   help="zero LR on patch/pos/mask embeddings")
+    p.add_argument("--use_encoder", default="teacher",
+                   choices=["teacher", "student"],
+                   help="branch to load from distilled checkpoints")
     p.add_argument("--n_last_blocks", type=int, default=12)
     p.add_argument("--train_len", type=float, default=12.0)
     p.add_argument("--fold", type=int, default=0)
@@ -47,7 +62,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     info = get_dataset(args.dataset_name)
     enc, params = load_encoder(args.pretrained_ckpt_path, args.model_type,
-                               args.arch)
+                               args.arch, which=args.use_encoder)
 
     def make_loader(split, shuffle):
         kw = dict(fold=args.fold) if info.num_folds > 1 else {}
@@ -82,6 +97,11 @@ def main(argv=None):
         n_blocks=n_blocks,
         crop_len_s=args.train_len,
         mixup=args.mixup,
+        mixup_alpha=args.alpha,
+        mixup_ratio=args.mixup_ratio,
+        specaug=args.mask_aug,
+        rrc=args.rrc,
+        freeze_embed=args.freeze_embed,
     )
     task = FinetuneTask(enc, cfg, embed_dim)
     state = task.init_state(jax.random.PRNGKey(0), params)

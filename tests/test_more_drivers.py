@@ -39,6 +39,9 @@ def test_train_finetune_driver(tmp_path):
         "--arch", "tiny", "--batch_size", "4", "--max_epochs", "1",
         "--warmup_epochs", "0", "--n_last_blocks", "2",
         "--train_len", "1.0",
+        # reference per-dataset recipe knobs (eval_func.sh args 9-17)
+        "--alpha", "10", "--mixup_ratio", "0.5", "--mask_aug", "--rrc",
+        "--freeze_embed",
     ])
     assert 0.0 <= res["test"] <= 1.0
 
