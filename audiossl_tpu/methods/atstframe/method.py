@@ -138,16 +138,20 @@ class FrameMethod:
         enc_fn = {"tiny": frame_ast_tiny, "small": frame_ast_small,
                   "base": frame_ast_base}[cfg.arch]
         hd, od = (128, 32) if cfg.arch == "tiny" else (4096, 256)
+        # the teacher is never differentiated -> whole-block fused
+        # inference kernels (its in-kernel stochastic depth preserves
+        # the reference's train-mode teacher)
+        tea_kw = dict(enc_kw, fused_infer=cfg.fused_attention)
         if cfg.avg_blocks == 0:  # ATST-Frame
             self.student = Branch(encoder=enc_fn(**enc_kw), projector="mlp",
                                   predictor=True, hidden_dim=hd, out_dim=od)
-            self.teacher = Branch(encoder=enc_fn(**enc_kw), projector="mlp",
+            self.teacher = Branch(encoder=enc_fn(**tea_kw), projector="mlp",
                                   predictor=False, hidden_dim=hd, out_dim=od)
         else:  # data2vec-style
             self.student = Branch(encoder=enc_fn(**enc_kw),
                                   projector="linear", predictor=False)
             self.teacher = Branch(
-                encoder=enc_fn(avg_blocks=cfg.avg_blocks, **enc_kw),
+                encoder=enc_fn(avg_blocks=cfg.avg_blocks, **tea_kw),
                 projector="none", predictor=False)
 
     def init_state(self, rng) -> PretrainState:

@@ -91,6 +91,11 @@ class AudioTransformer(nn.Module):
     # opt-in Pallas fused attention (wins for sequences >~512 tokens,
     # e.g. long-audio variants; see ops/pallas_attention.py)
     fused_attention: bool = False
+    # whole-block fused inference kernels (ops/pallas_block.py) — set
+    # ONLY on encoders whose forward is never differentiated (the EMA
+    # teacher, embedding extractors); stochastic depth is applied
+    # in-kernel so train-mode teacher semantics are preserved
+    fused_infer: bool = False
 
     @property
     def max_patches(self):
@@ -199,6 +204,32 @@ class AudioTransformer(nn.Module):
         256 tiles anyway, so this costs no extra FLOPs.
         """
         N0 = x.shape[1]
+        use_block_fused = (
+            (self.fused_infer or (self.fused_attention and deterministic))
+            and self.drop_rate == 0.0 and self.attn_drop_rate == 0.0
+            and jnp.dtype(self.dtype) == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+            and not self.is_initializing())
+        if use_block_fused:
+            # whole-block fused inference kernels (weights resident in
+            # VMEM, one HBM round-trip per sub-block) — deterministic
+            # forwards are always no-grad in this framework, and
+            # fused_infer marks no-grad train-mode encoders (the EMA
+            # teacher); their stochastic depth runs in-kernel
+            # (ops/pallas_block.py)
+            from audiossl_tpu.ops.pallas_block import encoder_blocks_infer
+
+            dp_rng = None
+            if not deterministic and self.drop_path_rate > 0.0:
+                dp_rng = self.make_rng("droppath")
+            bparams = {f"blocks_{i}": b.variables["params"]
+                       for i, b in enumerate(self.blocks)}
+            return encoder_blocks_infer(
+                bparams, x, self._attn_lengths(plen), self.num_heads,
+                self.depth, eps=self.eps, collect_from=collect_from,
+                drop_path_rate=(0.0 if deterministic
+                                else self.drop_path_rate),
+                rng=dp_rng)
         pad = (-N0) % 128 if self.fused_attention else 0
         if pad:
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))

@@ -1,0 +1,257 @@
+"""Fused whole-block transformer kernels for inference forwards.
+
+Every no-grad encoder pass — the EMA teacher in pretraining (half of
+each step's forward FLOPs), embedding extraction, frozen-probe feature
+dumps, SED frozen teachers — runs the same 12-block stack. Under XLA
+these forwards execute as ~5 fusions per block whose epilogues (LN
+stats, GELU) leave the MXU at ~50% utilization and whose activations
+round-trip HBM between fusions. These kernels run one whole residual
+sub-block per pallas_call with the weights RESIDENT in VMEM (constant
+index maps — fetched once, reused by every grid cell):
+
+* :func:`attn_block_infer` — LN1 -> qkv Dense -> per-head exp-only
+  softmax attention (the ops/pallas_mha.py scheme: denominator via a
+  validity column on the MXU, masking by zeroed k/v) -> out-projection
+  -> residual add.  Weights ~4.7 MB (bf16 ViT-base).
+* :func:`mlp_block_infer` — LN2 -> fc1 -> exact GELU -> fc2 ->
+  residual add.  Weights ~9.4 MB.
+
+Both keep all activations for a batch row in VMEM ([N, 4C] peak), so
+per-block HBM traffic drops from ~5 activation round-trips to exactly
+one read + one write of [N, C].
+
+:func:`encoder_blocks_infer` strings the kernels over a flax
+``AudioTransformer`` param tree (models/atst.py run_blocks semantics
+with deterministic=True). Inference only — no custom_vjp; gradient
+paths keep the per-op route (ops/pallas_mha.py provides the trainable
+fused attention).
+
+Semantics mirror models/transformer.Block (pre-LN, exact-GELU MLP,
+additive key masking); numerics differ from the XLA path only by f32
+LN/softmax statistics and dot-accumulation rounding.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 (|err| < 1.5e-7 — exact at forward
+    precision); Mosaic has no erf/erfc primitive."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _ln(xf, scale, bias, eps):
+    mu = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+    return (xf - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _attn_kernel(x_ref, v_ref, dp_ref, lns_ref, lnb_ref, wqkv_ref,
+                 bqkv_ref, wproj_ref, bproj_ref, o_ref, *, H, scale,
+                 eps):
+    C = x_ref.shape[2]
+    d = C // H
+    cdt = wqkv_ref.dtype  # compute dtype follows the weights
+    xf = x_ref[0].astype(jnp.float32)  # [N, C]
+    h = _ln(xf, lns_ref[0], lnb_ref[0], eps).astype(cdt)
+    qkv = (jax.lax.dot_general(
+        h, wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + bqkv_ref[0]).astype(cdt)  # [N, 3C]
+    vrow = v_ref[0, 0].astype(jnp.float32)[:, None]  # [N, 1]
+    outs = []
+    for g in range(H):
+        q = qkv[:, g * d:(g + 1) * d]
+        k = qkv[:, C + g * d:C + (g + 1) * d]
+        v = qkv[:, 2 * C + g * d:2 * C + (g + 1) * d]
+        kz = (k.astype(jnp.float32) * vrow).astype(k.dtype)
+        vv = jnp.concatenate(
+            [v.astype(jnp.float32) * vrow, vrow], axis=1).astype(v.dtype)
+        s = jax.lax.dot_general(
+            q, kz, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        e = jnp.exp(s).astype(q.dtype)  # exp-only softmax
+        o2 = jnp.dot(e, vv, preferred_element_type=jnp.float32)
+        outs.append(o2[:, :-1] * (1.0 / (o2[:, -1:] + 1e-30)))
+    o = jnp.concatenate(outs, axis=1).astype(cdt)  # [N, C]
+    y = jax.lax.dot_general(
+        o, wproj_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bproj_ref[0]
+    # stochastic-depth keep multiplier (0 or 1/keep_rate per sample)
+    o_ref[0] = (xf + y * dp_ref[0, 0, 0]).astype(o_ref.dtype)
+
+
+def _mlp_kernel(x_ref, dp_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
+                w2_ref, b2_ref, o_ref, *, eps):
+    cdt = w1_ref.dtype
+    xf = x_ref[0].astype(jnp.float32)
+    h = _ln(xf, lns_ref[0], lnb_ref[0], eps).astype(cdt)
+    a = jax.lax.dot_general(
+        h, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[0]
+    # exact GELU: 0.5 x (1 + erf(x/sqrt(2)))
+    a = (0.5 * a * (1.0 + _erf(a * 0.7071067811865476))).astype(cdt)
+    y = jax.lax.dot_general(
+        a, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b2_ref[0]
+    o_ref[0] = (xf + y * dp_ref[0, 0, 0]).astype(o_ref.dtype)
+
+
+def _row(x):
+    return jnp.asarray(x)[None, :]
+
+
+def attn_block_infer(x, valid, p, num_heads, eps=1e-6, dp=None,
+                     interpret=False):
+    """x: [B, N, C] (N a 128-multiple), valid: [B, N] 0/1 key mask,
+    p: Block param subtree {norm1, attn:{qkv, proj}}; dp: optional
+    per-sample stochastic-depth keep multiplier [B] (0 or 1/keep)."""
+    B, N, C = x.shape
+    dp = jnp.ones((B,), jnp.float32) if dp is None else dp
+    d = C // num_heads
+    cdt = x.dtype  # bf16 production models; f32 kept exact for tests
+    wqkv = p["attn"]["qkv"]["kernel"].astype(cdt)
+    bqkv = p["attn"]["qkv"].get("bias")
+    bqkv = (jnp.zeros((3 * C,), jnp.float32) if bqkv is None
+            else bqkv.astype(jnp.float32))
+    wproj = p["attn"]["proj"]["kernel"].astype(cdt)
+    bproj = p["attn"]["proj"]["bias"].astype(jnp.float32)
+    const = lambda *idx: (lambda b: idx)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, H=num_heads, scale=d ** -0.5,
+                          eps=eps),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), const(0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), const(0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const(0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * C * (4 * C + 2 * num_heads * N * d // C
+                                   * C),
+            bytes_accessed=2 * (2 * B * N * C + 4 * C * C),
+            transcendentals=B * num_heads * N * N,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(x, valid[:, None, :].astype(jnp.float32),
+      dp.astype(jnp.float32)[:, None, None],
+      _row(p["norm1"]["scale"].astype(jnp.float32)),
+      _row(p["norm1"]["bias"].astype(jnp.float32)),
+      wqkv, _row(bqkv), wproj, _row(bproj))
+
+
+def mlp_block_infer(x, p, eps=1e-6, dp=None, interpret=False):
+    """x: [B, N, C]; p: Block param subtree {norm2, mlp:{fc1, fc2}};
+    dp: optional per-sample stochastic-depth keep multiplier [B]."""
+    B, N, C = x.shape
+    dp = jnp.ones((B,), jnp.float32) if dp is None else dp
+    cdt = x.dtype
+    w1 = p["mlp"]["fc1"]["kernel"].astype(cdt)
+    b1 = p["mlp"]["fc1"]["bias"].astype(jnp.float32)
+    w2 = p["mlp"]["fc2"]["kernel"].astype(cdt)
+    b2 = p["mlp"]["fc2"]["bias"].astype(jnp.float32)
+    Hd = w1.shape[1]
+    const = lambda *idx: (lambda b: idx)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_mlp_kernel, eps=eps),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Hd), const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hd), const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hd, C), const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const(0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * N * C * Hd,
+            bytes_accessed=2 * (2 * B * N * C + 2 * C * Hd),
+            transcendentals=B * N * Hd,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(x, dp.astype(jnp.float32)[:, None, None],
+      _row(p["norm2"]["scale"].astype(jnp.float32)),
+      _row(p["norm2"]["bias"].astype(jnp.float32)),
+      w1, _row(b1), w2, _row(b2))
+
+
+def encoder_blocks_infer(params, x, lengths, num_heads, depth,
+                         eps=1e-6, collect_from=None,
+                         drop_path_rate=0.0, rng=None,
+                         interpret=False):
+    """Inference pass over all blocks with per-encoder-pass padding
+    (models/atst.run_blocks semantics).
+
+    params: AudioTransformer param tree holding ``blocks_i`` subtrees;
+    x: [B, N0, C] tokens; lengths: [B] valid token counts or None.
+    drop_path_rate > 0 with an rng applies the reference's stochastic
+    depth (linearly ramped over depth, independent per sample and
+    residual branch — transformer.drop_path) via per-sample keep
+    multipliers; the pass stays a no-grad forward either way.
+    Returns (x, collected) like run_blocks."""
+    B, N0, C = x.shape
+    pad = (-N0) % 128
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    N = x.shape[1]
+    if lengths is None:
+        lengths = jnp.full((B,), N0, jnp.int32)
+    valid = (jnp.arange(N)[None, :] < lengths[:, None]).astype(
+        jnp.float32)
+    dps = None
+    if drop_path_rate > 0.0 and rng is not None:
+        rates = jnp.asarray([drop_path_rate * i / max(depth - 1, 1)
+                             for i in range(depth)], jnp.float32)
+        keep = 1.0 - rates[:, None, None]  # [depth, 1, 1]
+        u = jax.random.uniform(rng, (depth, 2, B))
+        dps = jnp.floor(keep + u) / keep  # 0 or 1/keep
+    collected = []
+    for i in range(depth):
+        p = params[f"blocks_{i}"]
+        x = attn_block_infer(x, valid, p, num_heads, eps=eps,
+                             dp=None if dps is None else dps[i, 0],
+                             interpret=interpret)
+        x = mlp_block_infer(x, p, eps=eps,
+                            dp=None if dps is None else dps[i, 1],
+                            interpret=interpret)
+        if collect_from is not None and i >= collect_from:
+            collected.append(x[:, :N0] if pad else x)
+    if pad:
+        x = x[:, :N0]
+    return x, collected

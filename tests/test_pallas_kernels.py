@@ -135,3 +135,46 @@ def test_pallas_mel_interpret():
         jnp.einsum("bft,fm->bmt", power, fb), cfg.amin))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4)
+
+
+def test_encoder_blocks_infer_matches_flax():
+    """Whole-block fused inference kernels (interpret mode) vs the flax
+    Block stack, with ragged valid lengths."""
+    from audiossl_tpu.models.atst import AudioTransformer
+    from audiossl_tpu.models.transformer import length_to_attn_mask
+    from audiossl_tpu.ops.pallas_block import encoder_blocks_infer
+
+    enc = AudioTransformer(embed_dim=64, depth=2, num_heads=2,
+                           spec_h=64, spec_w=40, use_cls=False,
+                           drop_path_rate=0.0)
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(rng.randn(2, 64, 40).astype(np.float32))
+    lengths = jnp.asarray([40, 24])
+    variables = enc.init(jax.random.PRNGKey(0), mel, length=lengths,
+                         deterministic=True)
+    params = variables["params"]
+
+    # reference path: flax blocks with the additive attention mask
+    bound = enc.bind(variables)
+
+    def flax_blocks(x, tok_len):
+        mask = length_to_attn_mask(tok_len, x.shape[1])
+        for blk in bound.blocks:
+            x = blk(x, mask, True)
+        return x
+
+    x = jnp.asarray(rng.randn(2, 10, 64).astype(np.float32))
+    tok_len = jnp.asarray([10, 6])
+    want = flax_blocks(x, tok_len)
+    got, collected = encoder_blocks_infer(
+        params, x, tok_len, enc.num_heads, enc.depth, eps=enc.eps,
+        collect_from=0, interpret=True)
+    # compare only valid tokens (invalid rows differ by mask scheme:
+    # -10000 additive vs exact-zero probabilities)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got[1, :6]),
+                               np.asarray(want[1, :6]), atol=2e-4)
+    assert len(collected) == 2
+    np.testing.assert_allclose(np.asarray(collected[-1][0]),
+                               np.asarray(got[0]), atol=1e-6)
