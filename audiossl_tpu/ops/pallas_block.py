@@ -158,7 +158,7 @@ def attn_block_infer(x, valid, p, num_heads, eps=1e-6, dp=None,
             transcendentals=B * num_heads * N * N,
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(x, valid[:, None, :].astype(jnp.float32),
       dp.astype(jnp.float32)[:, None, None],
@@ -203,7 +203,7 @@ def mlp_block_infer(x, p, eps=1e-6, dp=None, interpret=False):
             transcendentals=B * N * Hd,
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(x, dp.astype(jnp.float32)[:, None, None],
       _row(p["norm2"]["scale"].astype(jnp.float32)),
