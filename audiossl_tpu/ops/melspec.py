@@ -194,7 +194,7 @@ def stft_conv(wav: jnp.ndarray, cfg: MelConfig = MelConfig()
         [left, wav, right, jnp.zeros((B, cfg.win_length), wav.dtype)],
         axis=1)
     filt = jnp.asarray(_dft_filters_np(cfg.n_fft, cfg.win_length))
-    if cfg.stft_precision == "default" and cfg.win_length % cfg.hop_length == 0:
+    if cfg.stft_precision == "default":
         # training-precision fast path: hop-decomposed framing (pure
         # reshapes/slices, no im2col gather) + ONE [B*T, win] x
         # [win, 2F] matmul. XLA's strided-conv lowering of the same

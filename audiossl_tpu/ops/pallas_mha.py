@@ -26,9 +26,14 @@ v5e drive the design:
     ``exp(s) @ v`` and the per-query normalizer — and masking costs
     nothing on [N, N] (invalid keys are zeroed in k/v; their scores
     exponentiate to 1 but are excluded by the validity column);
-  - backward uses the flash-attention delta trick
-    (delta = rowsum(do * o), computed by a tiny MXU dot) and folds
-    every per-row 1/denominator factor into d-wide operands;
+  - backward reuses the forward's outputs and per-(query, head)
+    denominators (saved as a tiny [B, N, H] residual), so only five
+    [N, N]-sized dots remain per head (score recompute, dp, dq, dk,
+    dv), with delta = rowsum(do * o) from a tiny MXU dot and every
+    1/denominator factor folded into d-wide operands;
+  - the backward head loop is two-phase (all exp(s) into a VMEM
+    scratch first, then the gradient dots) so consecutive MXU ops are
+    independent — measured ~15% faster than the fused chain per head;
   - invalid keys' dk/dv rows are re-zeroed: the exact-softmax
     gradient there is 0 (the reference's -10000 additive mask leaves
     ~e^-10000 noise instead).
@@ -37,8 +42,8 @@ v5e drive the design:
   one grid cell per batch row iterates the heads, so [N, N] buffers
   live and die in VMEM. At ATST shapes the kernel is DMA-bound at
   ~50 MB per forward call vs ~1 GB of score traffic on the XLA einsum
-  path (measured end-to-end: fwd 0.8 ms vs 1.4 ms, bwd 1.2 ms vs
-  ~3.9 ms at B=128, H=12, N=256, d=64).
+  path (measured end-to-end: fwd 0.36 ms, bwd ~1.4 ms at B=128,
+  H=12, N=256, d=64 — vs 1.4 / 3.9 ms for the XLA chain).
 
 Semantics match ``models/transformer.Attention`` (key mask, f32
 softmax); N is bounded by the [N, N] f32 blocks in VMEM.
@@ -53,9 +58,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MAX_SEQ = 1536
+# two-phase backward keeps all H exp(s) blocks in VMEM scratch; above
+# this budget fall back to the fused per-head chain
+_BWD_SCRATCH_BYTES = 4 * 1024 * 1024
 
 
-def _fwd_kernel(x_ref, v_ref, o_ref, *, scale, H, d):
+def _fwd_kernel(x_ref, v_ref, o_ref, r_ref, *, scale, H, d):
     C = H * d
     vrow = v_ref[0, 0].astype(jnp.float32)[:, None]  # [N, 1] key mask
     xb = x_ref[0]  # [N, 3C]
@@ -76,56 +84,72 @@ def _fwd_kernel(x_ref, v_ref, o_ref, *, scale, H, d):
         # +eps: a query with zero valid keys yields 0 instead of NaN
         r = 1.0 / (o2[:, -1:] + 1e-30)
         o_ref[0, :, g * d:(g + 1) * d] = (o2[:, :-1] * r).astype(o_ref.dtype)
+        r_ref[0, :, g:g + 1] = r
 
 
-def _bwd_kernel(x_ref, v_ref, do_ref, dx_ref, *, scale, H, d):
+def _bwd_head(xb, vrow, rcol, og, dog, e, g, *, scale, H, d, dx_ref,
+              ones_col):
+    C = H * d
+    q = xb[:, g * d:(g + 1) * d]
+    k = xb[:, C + g * d:C + (g + 1) * d]
+    v = xb[:, 2 * C + g * d:2 * C + (g + 1) * d]
+    kz = (k.astype(jnp.float32) * vrow).astype(k.dtype)
+    vzf = v.astype(jnp.float32) * vrow
+    # delta[q] = sum_c do[q, c] o[q, c] via a tiny MXU dot -> [N, 1]
+    delta = jax.lax.dot_general(
+        (dog * og).astype(xb.dtype), ones_col, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dor = (dog * rcol).astype(q.dtype)  # do with 1/den folded in
+    # dp[q, m] = sum_c do[q, c] vz[m, c]  (r folded via dor)
+    dp = jax.lax.dot_general(
+        dor, vzf.astype(v.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [N, N]
+    # ds = p (dp - delta); p = e r -> r already in dp, fold into delta
+    t = (e.astype(jnp.float32) * (dp - delta * rcol)).astype(q.dtype)
+    dq = jax.lax.dot_general(
+        t, kz, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # [N, d]
+    dk = jax.lax.dot_general(
+        t, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # [N(key), d]
+    dv = jax.lax.dot_general(
+        e, dor, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # p^T do  [N(key), d]
+    dx_ref[0, :, g * d:(g + 1) * d] = dq.astype(dx_ref.dtype)
+    # exact-softmax gradient: invalid keys receive zero grad
+    dx_ref[0, :, C + g * d:C + (g + 1) * d] = (
+        dk * vrow).astype(dx_ref.dtype)
+    dx_ref[0, :, 2 * C + g * d:2 * C + (g + 1) * d] = (
+        dv * vrow).astype(dx_ref.dtype)
+
+
+def _bwd_kernel(x_ref, v_ref, r_ref, o_ref, do_ref, dx_ref, *refs,
+                scale, H, d, two_phase):
     C = H * d
     vrow = v_ref[0, 0].astype(jnp.float32)[:, None]  # [N, 1]
     xb = x_ref[0]
     ones_col = jnp.ones((d, 1), xb.dtype)
-    for g in range(H):
+
+    def score_exp(g):
         q = xb[:, g * d:(g + 1) * d]
         k = xb[:, C + g * d:C + (g + 1) * d]
-        v = xb[:, 2 * C + g * d:2 * C + (g + 1) * d]
-        do = do_ref[0, :, g * d:(g + 1) * d].astype(jnp.float32)  # [N, d]
         kz = (k.astype(jnp.float32) * vrow).astype(k.dtype)
-        vzf = v.astype(jnp.float32) * vrow
-        vv = jnp.concatenate([vzf, vrow], axis=1).astype(v.dtype)
         s = jax.lax.dot_general(
             q, kz, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        e = jnp.exp(s)  # [N, N] f32
-        eb = e.astype(q.dtype)
-        o2 = jnp.dot(eb, vv, preferred_element_type=jnp.float32)
-        r = 1.0 / (o2[:, -1:] + 1e-30)  # [N, 1]
-        o = o2[:, :-1] * r
-        # delta[q] = sum_c do[q, c] o[q, c] via a tiny MXU dot -> [N, 1]
-        delta = jax.lax.dot_general(
-            (do * o).astype(xb.dtype), ones_col,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dor = (do * r).astype(q.dtype)  # do with 1/den folded in
-        # dp[q, m] = sum_c do[q, c] vz[m, c]  (r folded via dor)
-        dp = jax.lax.dot_general(
-            dor, vzf.astype(v.dtype), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [N, N]
-        # ds = p (dp - delta); p = e r -> r already in dp, fold into delta
-        t = (e * (dp - delta * r)).astype(q.dtype)  # 2 VPU ops on [N, N]
-        dq = jax.lax.dot_general(
-            t, kz, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [N, d]
-        dk = jax.lax.dot_general(
-            t, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [N(key), d]
-        dv = jax.lax.dot_general(
-            eb, dor, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # p^T do  [N(key), d]
-        dx_ref[0, :, g * d:(g + 1) * d] = dq.astype(dx_ref.dtype)
-        # exact-softmax gradient: invalid keys receive zero grad
-        dx_ref[0, :, C + g * d:C + (g + 1) * d] = (
-            dk * vrow).astype(dx_ref.dtype)
-        dx_ref[0, :, 2 * C + g * d:2 * C + (g + 1) * d] = (
-            dv * vrow).astype(dx_ref.dtype)
+        return jnp.exp(s)
+
+    if two_phase:
+        e_scr, = refs
+        for g in range(H):
+            e_scr[g] = score_exp(g).astype(e_scr.dtype)
+    for g in range(H):
+        rcol = r_ref[0, :, g:g + 1]  # [N, 1]
+        og = o_ref[0, :, g * d:(g + 1) * d].astype(jnp.float32)
+        dog = do_ref[0, :, g * d:(g + 1) * d].astype(jnp.float32)
+        e = e_scr[g] if two_phase else score_exp(g).astype(xb.dtype)
+        _bwd_head(xb, vrow, rcol, og, dog, e, g, scale=scale, H=H, d=d,
+                  dx_ref=dx_ref, ones_col=ones_col)
 
 
 def _to_valid(mask):
@@ -160,7 +184,7 @@ def _mha_fwd(qkv, mask, num_heads, scale, interpret):
     if N0 > MAX_SEQ:
         raise ValueError(f"fused_mha: N={N0} > {MAX_SEQ}")
     xp, validp, N, Np = _pad_inputs(qkv, _to_valid(mask))
-    out = pl.pallas_call(
+    out, r = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, H=num_heads, d=d),
         grid=(B,),
         in_specs=[
@@ -169,9 +193,16 @@ def _mha_fwd(qkv, mask, num_heads, scale, interpret):
             pl.BlockSpec((1, 1, Np), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Np, C), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Np, C), qkv.dtype),
+        out_specs=(
+            pl.BlockSpec((1, Np, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np, num_heads), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Np, C), qkv.dtype),
+            jax.ShapeDtypeStruct((B, Np, num_heads), jnp.float32),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * num_heads * Np * Np * d,
             bytes_accessed=(xp.size + B * Np * C) * qkv.dtype.itemsize,
@@ -183,23 +214,34 @@ def _mha_fwd(qkv, mask, num_heads, scale, interpret):
     )(xp, validp[:, None, :])
     if Np != N:
         out = out[:, :N]
-    return out, (qkv, mask)
+    return out, (qkv, mask, out, r)
 
 
 def _mha_bwd(num_heads, scale, interpret, res, g):
-    qkv, mask = res
+    qkv, mask, out, r = res
     B, N0, C3 = qkv.shape
     C = C3 // 3
     d = C // num_heads
     xp, validp, N, Np = _pad_inputs(qkv, _to_valid(mask))
     gp = g if Np == N else jnp.pad(g, ((0, 0), (0, Np - N), (0, 0)))
+    op = out if out.shape[1] == Np else jnp.pad(
+        out, ((0, 0), (0, Np - out.shape[1]), (0, 0)))
+    two_phase = (num_heads * Np * Np * qkv.dtype.itemsize
+                 <= _BWD_SCRATCH_BYTES)
+    scratch = ([pltpu.VMEM((num_heads, Np, Np), qkv.dtype)]
+               if two_phase else [])
     dx = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, H=num_heads, d=d),
+        functools.partial(_bwd_kernel, scale=scale, H=num_heads, d=d,
+                          two_phase=two_phase),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, Np, C3), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Np), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np, num_heads), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Np, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -207,15 +249,17 @@ def _mha_bwd(num_heads, scale, interpret, res, g):
         out_specs=pl.BlockSpec((1, Np, C3), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Np, C3), qkv.dtype),
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
-            flops=13 * B * num_heads * Np * Np * d,
+            flops=11 * B * num_heads * Np * Np * d,
             bytes_accessed=2 * xp.size * qkv.dtype.itemsize,
             transcendentals=B * num_heads * Np * Np,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(xp, validp[:, None, :], gp.astype(qkv.dtype))
+    )(xp, validp[:, None, :], r, op.astype(qkv.dtype),
+      gp.astype(qkv.dtype))
     if Np != N:
         dx = dx[:, :N]
     return dx, None
