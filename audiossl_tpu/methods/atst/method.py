@@ -52,6 +52,8 @@ class ClipPretrainConfig:
     optimizer: OptimizerConfig = OptimizerConfig()
     mel: MelConfig = MelConfig(stft_precision="default")
     dtype: str = "float32"
+    # fused Pallas MHA / whole-block teacher kernels; TPU-only at runtime
+    fused_attention: bool = True
 
     @property
     def max_len_s(self) -> float:
@@ -135,13 +137,17 @@ class ClipMethod:
             spec_h=cfg.mel.n_mels,
             spec_w=cfg.out_frames,
             dtype=jnp.dtype(cfg.dtype),
+            fused_attention=cfg.fused_attention,
         )
         enc_fn = {"tiny": ast_tiny, "small": ast_small,
                   "base": ast_base}[cfg.arch]
         hd, od = (128, 32) if cfg.arch == "tiny" else (4096, 256)
+        # teacher forwards are never differentiated -> whole-block
+        # fused inference kernels (stochastic depth stays in-kernel)
+        tea_kw = dict(enc_kw, fused_infer=cfg.fused_attention)
         self.student = Branch(encoder=enc_fn(**enc_kw), predictor=True,
                               hidden_dim=hd, out_dim=od)
-        self.teacher = Branch(encoder=enc_fn(**enc_kw), predictor=False,
+        self.teacher = Branch(encoder=enc_fn(**tea_kw), predictor=False,
                               hidden_dim=hd, out_dim=od)
 
     def init_state(self, rng) -> PretrainState:

@@ -54,6 +54,9 @@ class DualConfig:
     out_dim: int = 256
     optimizer: OptimizerConfig = OptimizerConfig()
     mel: MelConfig = MelConfig()
+    dtype: str = "float32"
+    # fused Pallas MHA on the transformer hot path (TPU-only at runtime)
+    fused_attention: bool = True
 
     @property
     def out_samples(self):
@@ -95,7 +98,8 @@ class DualModel(nn.Module):
         d, depth, heads = dims
         kw = dict(embed_dim=d, depth=depth, num_heads=heads,
                   spec_h=c.mel.n_mels, spec_w=c.out_frames,
-                  use_cls=False)
+                  use_cls=False, dtype=jnp.dtype(c.dtype),
+                  fused_attention=c.fused_attention)
         self.patchnet = AudioTransformer(patch_h=16, patch_w=16,
                                          name="patchnet", **kw)
         self.framenet = AudioTransformer(patch_h=64, patch_w=4,
