@@ -42,6 +42,8 @@ def build_parser():
     p.add_argument("--profile_at", type=int, default=None,
                    help="capture a jax.profiler trace for 10 steps "
                         "starting at this step")
+    p.add_argument("--shard_optimizer", action="store_true",
+                   help="ZeRO-1: shard Adam moments over the data mesh")
     p.add_argument("--clip_len", type=float, default=10.0,
                    help="host buffer seconds (full clip length)")
     return p
@@ -71,7 +73,7 @@ def main(argv=None):
         max_steps=args.max_steps, save_path=args.save_path,
         ckpt_interval=args.ckpt_interval, seed=args.seed,
         n_devices=args.n_devices, clip_len_s=args.clip_len,
-        profile_at=args.profile_at)
+        profile_at=args.profile_at, shard_optimizer=args.shard_optimizer)
 
 
 if __name__ == "__main__":

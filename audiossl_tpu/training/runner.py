@@ -16,7 +16,8 @@ import numpy as np
 
 from audiossl_tpu.datasets.pipeline import BatchLoader
 from audiossl_tpu.parallel import data_mesh, replicate_tree
-from audiossl_tpu.parallel.mesh import shard_batch_multiprocess
+from audiossl_tpu.parallel.mesh import (shard_batch_multiprocess,
+                                        shard_opt_state_tree)
 from audiossl_tpu.training.checkpoint import CheckpointManager
 
 
@@ -48,7 +49,8 @@ def run_pretraining(method, dataset, *, batch_size_per_device: int,
                     loader_threads: int = 8,
                     clip_len_s: Optional[float] = None,
                     profile_at: Optional[int] = None,
-                    profile_steps: int = 10):
+                    profile_steps: int = 10,
+                    shard_optimizer: bool = False):
     """Train `method` (ClipMethod / FrameMethod) on `dataset` until
     max_steps. Returns the final PretrainState.
 
@@ -58,7 +60,11 @@ def run_pretraining(method, dataset, *, batch_size_per_device: int,
     On pod slices (jax.process_count() > 1) each host reads only its
     shard of every global batch and the arrays are assembled with
     jax.make_array_from_process_local_data — no cross-host input
-    traffic (SURVEY §2.8)."""
+    traffic (SURVEY §2.8).
+
+    shard_optimizer=True shards the Adam moments over the data axis
+    (ZeRO-1): m/v memory drops by the mesh size at the cost of one
+    parameter-update all-gather per step."""
     mesh = data_mesh(n_devices)
     n_dev = mesh.shape["data"]
     global_bs = batch_size_per_device * n_dev
@@ -74,6 +80,9 @@ def run_pretraining(method, dataset, *, batch_size_per_device: int,
             state = restored
             print(f"resumed from step {int(state.step)}")
     state = replicate_tree(mesh, state)
+    if shard_optimizer:
+        state = state._replace(
+            opt_state=shard_opt_state_tree(mesh, state.opt_state))
 
     step_fn = jax.jit(method.make_step(), donate_argnums=0)
     logger = MetricLogger(save_path)
