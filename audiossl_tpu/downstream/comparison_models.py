@@ -147,6 +147,52 @@ class BEATsAdapter:
         return toks.reshape(B, N // F, F, D).mean(axis=2)
 
 
+@dataclasses.dataclass
+class BYOLAAdapter:
+    """BYOL-A v2 CNN as a frame encoder (reference byola_module.py):
+    Slaney log-mel front-end with the published PrecomputedNorm stats,
+    conv stack pools time by 4 -> 25 fps frame embeddings of dim 3072.
+    BatchNorm uses the checkpoint's running statistics."""
+    encoder: object
+    variables: dict
+    frozen: bool = True
+
+    @property
+    def params(self):
+        return self.variables["params"]
+
+    @property
+    def embed_dim(self):
+        return self.encoder.d
+
+    @property
+    def frame_rate_divisor(self):
+        return 4  # two 2x time maxpools over 100 fps mels
+
+    def token_count(self, n_samples: int) -> int:
+        return (n_samples // 160 + 1) // 4
+
+    def frame_embeddings(self, params, wav, valid, train=False,
+                         rngs=None):
+        from audiossl_tpu.compat.byola import byola_logmel
+
+        lms = byola_logmel(wav)
+        return self.encoder.apply(
+            {"params": params,
+             "batch_stats": self.variables["batch_stats"]}, lms)
+
+
+@register_adapter("byola")
+def _byola(ckpt_path: str, **kw):
+    """Released BYOL-A .pth -> flax adapter (reference
+    train_dcase.py:141-142 + byola_module.py)."""
+    from audiossl_tpu.compat.byola import load_byola_checkpoint
+
+    kw.pop("arch", None)
+    enc, variables = load_byola_checkpoint(ckpt_path)
+    return BYOLAAdapter(encoder=enc, variables=variables, **kw)
+
+
 @register_adapter("beats")
 def _beats(ckpt_path: str, **kw):
     """Released BEATs torch checkpoint -> flax adapter (reference

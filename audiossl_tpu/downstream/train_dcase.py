@@ -92,7 +92,7 @@ def build_parser():
     p.add_argument("--arch", default="base",
                    choices=["tiny", "small", "base",
                             "frameatst", "clipatst", "distillatst",
-                            "beats"],
+                            "beats", "byola"],
                    help="own frame-AST size tier, or a comparison-"
                         "model adapter name (reference "
                         "train_dcase.py:139-175 dispatch)")

@@ -148,3 +148,45 @@ def test_train_dcase_driver_beats_arch(tmp_path):
     for k in ("psds1", "psds2", "event_f1"):
         assert k in res
         assert 0.0 <= res[k] <= 1.0
+
+
+def test_train_dcase_driver_byola_arch(tmp_path):
+    """--arch byola: a released-format BYOL-A .pth drives the SED
+    pipeline through the CNN adapter (reference train_dcase.py:141)."""
+    torch = pytest.importorskip("torch")
+    from audiossl_tpu.compat.byola import AudioNTT2022Encoder
+    from audiossl_tpu.downstream.train_dcase import main
+
+    enc = AudioNTT2022Encoder(n_mels=64, d=3072)
+    v = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96)))
+
+    def t(x):
+        return torch.from_numpy(np.array(x, np.float32))
+
+    p, s = v["params"], v["batch_stats"]
+    sd = {}
+    for i, (ci, bi) in enumerate(((0, 1), (4, 5))):
+        sd[f"features.{ci}.weight"] = t(p[f"conv{i}"]["kernel"]
+                                        ).permute(3, 2, 0, 1)
+        sd[f"features.{ci}.bias"] = t(p[f"conv{i}"]["bias"])
+        sd[f"features.{bi}.weight"] = t(p[f"bn{i}"]["scale"])
+        sd[f"features.{bi}.bias"] = t(p[f"bn{i}"]["bias"])
+        sd[f"features.{bi}.running_mean"] = t(s[f"bn{i}"]["mean"])
+        sd[f"features.{bi}.running_var"] = t(s[f"bn{i}"]["var"])
+    for j, fi in ((0, 0), (1, 3)):
+        sd[f"fc.{fi}.weight"] = t(p[f"fc{j}"]["kernel"]).T
+        sd[f"fc.{fi}.bias"] = t(p[f"fc{j}"]["bias"])
+    ckpt = str(tmp_path / "byola.pth")
+    torch.save(sd, ckpt)
+
+    data = str(tmp_path / "dcase")
+    _make_dcase_dir(data)
+    res = main([
+        "--pretrained_ckpt_path", ckpt, "--data_path", data,
+        "--arch", "byola", "--batch_size_synth", "2",
+        "--batch_size_weak", "2", "--max_epochs", "1",
+        "--warmup_epochs", "0", "--learning_rate", "0.01",
+    ])
+    for k in ("psds1", "psds2", "event_f1"):
+        assert k in res
+        assert 0.0 <= res[k] <= 1.0
