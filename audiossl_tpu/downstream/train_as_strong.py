@@ -54,7 +54,12 @@ def build_parser():
     p.add_argument("--data_path", required=True)
     p.add_argument("--save_path", default=None)
     p.add_argument("--arch", default="base",
-                   choices=["tiny", "small", "base"])
+                   choices=["tiny", "small", "base",
+                            "frameatst", "clipatst", "distillatst",
+                            "beats", "byola"],
+                   help="own frame-AST size tier, or a comparison-"
+                        "model adapter name (reference "
+                        "train_as_strong.py dispatch)")
     p.add_argument("--learning_rate", type=float, default=1e-3)
     p.add_argument("--lr_scale", type=float, default=0.75)
     p.add_argument("--batch_size", type=int, default=32)
@@ -70,11 +75,20 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     info = get_dataset("as_strong")
-    enc_mod, enc_params = load_encoder(
-        args.pretrained_ckpt_path, "frame", args.arch, spec_w=1001)
+    if args.arch in ("tiny", "small", "base"):
+        enc_mod, enc_params = load_encoder(
+            args.pretrained_ckpt_path, "frame", args.arch, spec_w=1001)
+        net_pooling = enc_mod.patch_w
+    else:
+        from audiossl_tpu.downstream.comparison_models import get_adapter
+
+        adapter = get_adapter(args.arch,
+                              ckpt_path=args.pretrained_ckpt_path)
+        enc_mod, enc_params = adapter, adapter.params
+        net_pooling = adapter.frame_rate_divisor
     labels = load_as_strong_labels(
         os.path.join(args.data_path, "common_labels.txt"))
-    encoder = dcase_encoder(net_pooling=enc_mod.patch_w, labels=labels)
+    encoder = dcase_encoder(net_pooling=net_pooling, labels=labels)
 
     train_ds = info.creator(args.data_path, split="train", encoder=encoder)
     val_ds = info.creator(args.data_path, split="valid", encoder=encoder)

@@ -70,20 +70,32 @@ def _attn_kernel(x_ref, v_ref, dp_ref, lns_ref, lnb_ref, wqkv_ref,
         preferred_element_type=jnp.float32)
         + bqkv_ref[0]).astype(cdt)  # [N, 3C]
     vrow = v_ref[0, 0].astype(jnp.float32)[:, None]  # [N, 1]
+    has_valid = jnp.sum(vrow) > 0.5  # per-sequence scalar
     outs = []
     for g in range(H):
         q = qkv[:, g * d:(g + 1) * d]
         k = qkv[:, C + g * d:C + (g + 1) * d]
         v = qkv[:, 2 * C + g * d:2 * C + (g + 1) * d]
         kz = (k.astype(jnp.float32) * vrow).astype(k.dtype)
+        # two numerator/denominator pairs in ONE dot: masked (valid
+        # keys only) and unmasked. A sequence with ZERO valid keys
+        # (the chunked-inference length quirk, models/atst.py) must
+        # reproduce the additive-mask path's uniform attention over
+        # all keys — with kz = 0 its scores are all 0, e = 1, so the
+        # unmasked pair yields exactly mean(v).
+        vf = v.astype(jnp.float32)
         vv = jnp.concatenate(
-            [v.astype(jnp.float32) * vrow, vrow], axis=1).astype(v.dtype)
+            [vf * vrow, vrow, vf, jnp.ones_like(vrow)],
+            axis=1).astype(v.dtype)
         s = jax.lax.dot_general(
             q, kz, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         e = jnp.exp(s).astype(q.dtype)  # exp-only softmax
         o2 = jnp.dot(e, vv, preferred_element_type=jnp.float32)
-        outs.append(o2[:, :-1] * (1.0 / (o2[:, -1:] + 1e-30)))
+        den_v = o2[:, d:d + 1]
+        o_valid = o2[:, :d] * (1.0 / (den_v + 1e-30))
+        o_all = o2[:, d + 1:2 * d + 1] * (1.0 / o2[:, 2 * d + 1:])
+        outs.append(jnp.where(has_valid, o_valid, o_all))
     o = jnp.concatenate(outs, axis=1).astype(cdt)  # [N, C]
     y = jax.lax.dot_general(
         o, wproj_ref[...], (((1,), (0,)), ((), ())),
