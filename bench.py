@@ -20,10 +20,16 @@ to-generous baseline, not a lowball. vs_baseline = measured / 144.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "clips/s/chip", "vs_baseline": N}
+
+``--clip`` additionally prints a second JSON line with the ATST-Clip
+small pretraining throughput (the number README.md quotes), measured
+the same way (driver consumers parse line 1; --clip is opt-in so the
+driver contract is unchanged).
 """
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -31,6 +37,56 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_CLIPS_PER_SEC = 144.0
+
+
+def _measure(step, state, batch, B, iters=12, windows=3):
+    """Best-of-N timing windows; sync via scalar fetch — on the axon
+    tunnel block_until_ready can return before execution finishes."""
+    for _ in range(5):
+        state, metrics = step(state, batch)
+    float(metrics["loss"])
+    best_dt = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, batch)
+        assert jnp.isfinite(jnp.asarray(float(metrics["loss"])))
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    return B * iters / best_dt
+
+
+def bench_clip_small():
+    """ATST-Clip small pretraining throughput (reference
+    methods/atst/train_small.sh: 6 s crops out of 10 s clips, Mixup +
+    RandomResizeCrop on both views)."""
+    from audiossl_tpu.methods.atst.method import (
+        ClipMethod,
+        ClipPretrainConfig,
+    )
+    from audiossl_tpu.training.pretrain import OptimizerConfig
+
+    cfg = ClipPretrainConfig(
+        arch="small",
+        anchor_len=(6.0, 6.0),
+        positive_len=(6.0, 6.0),
+        optimizer=OptimizerConfig(learning_rate=5e-4, warmup_steps=1300,
+                                  max_steps=39100, ema=0.99),
+        dtype="bfloat16",
+    )
+    method = ClipMethod(cfg)
+    step = jax.jit(method.make_step(), donate_argnums=0)
+    B = 96
+    rng = np.random.RandomState(0)
+    wav = jnp.asarray(rng.randn(B, 160000).astype(np.float32) * 0.1)
+    valid = jnp.full((B,), 160000, jnp.int32)
+    state = method.init_state(jax.random.PRNGKey(0))
+    cps = _measure(step, state, {"wav": wav, "valid": valid}, B)
+    print(json.dumps({
+        "metric": "atst_clip_small_pretrain_clips_per_sec_per_chip",
+        "value": round(cps, 2),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(cps / BASELINE_CLIPS_PER_SEC, 3),
+    }))
 
 
 def main():
@@ -63,24 +119,9 @@ def main():
 
     state = method.init_state(jax.random.PRNGKey(0))
 
-    # warmup (compile + 2 steps); sync via scalar fetch — on the axon
-    # tunnel block_until_ready can return before execution finishes
-    for _ in range(5):
-        state, metrics = step(state, batch)
-    float(metrics["loss"])
-
-    # best of 3 windows — the measurement shares a tunneled device and
+    # best-of-3 windows — the measurement shares a tunneled device and
     # occasionally sees multi-second external stalls
-    iters = 12
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, metrics = step(state, batch)
-        assert jnp.isfinite(jnp.asarray(float(metrics["loss"])))
-        best_dt = min(best_dt, time.perf_counter() - t0)
-
-    clips_per_sec = B * iters / best_dt
+    clips_per_sec = _measure(step, state, batch, B)
     print(json.dumps({
         "metric": "atst_frame_base_pretrain_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
@@ -91,3 +132,5 @@ def main():
 
 if __name__ == "__main__":
     main()
+    if "--clip" in sys.argv[1:]:
+        bench_clip_small()

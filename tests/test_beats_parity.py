@@ -93,6 +93,7 @@ def test_beats_forward_parity_vs_torch():
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_beats_adapter_embeddings():
     from audiossl_tpu.compat.beats import BEATsConfig, BEATsEncoder
     from audiossl_tpu.downstream.comparison_models import BEATsAdapter

@@ -7,6 +7,7 @@ import pytest
 from audiossl_tpu.datasets import write_synthetic_pack
 
 
+@pytest.mark.slow
 def test_atst_clip_cli(tmp_path):
     from audiossl_tpu.methods.atst.train import main
 
@@ -23,6 +24,7 @@ def test_atst_clip_cli(tmp_path):
     assert os.path.exists(str(tmp_path / "exp" / "ckpt"))
 
 
+@pytest.mark.slow
 def test_atst_frame_cli(tmp_path):
     from audiossl_tpu.methods.atstframe.train import main
 
@@ -38,6 +40,7 @@ def test_atst_frame_cli(tmp_path):
     assert os.path.exists(str(tmp_path / "exp" / "ckpt"))
 
 
+@pytest.mark.slow
 def test_train_freeze_driver_orbax(tmp_path):
     """Probe driver end-to-end with an orbax-exported tiny encoder and
     a synthetic packed dataset (uses the audioset_b registry entry)."""

@@ -99,6 +99,7 @@ def test_downstream_datamodule(tmp_path):
     assert len(xs) == 3
 
 
+@pytest.mark.slow
 def test_audioset_strong_prep_scripts(tmp_path):
     script = os.path.join(REPO, "scripts", "audioset_strong_prep.py")
     raw = pd.DataFrame({

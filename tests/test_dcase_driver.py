@@ -35,6 +35,7 @@ def _make_dcase_dir(root):
                                   sep="\t", index=False)
 
 
+@pytest.mark.slow
 def test_train_dcase_driver_e2e(tmp_path):
     from audiossl_tpu.downstream.train_dcase import main
     from audiossl_tpu.models.atst import frame_ast_tiny
@@ -71,6 +72,7 @@ def test_train_dcase_driver_e2e(tmp_path):
     assert len(entries) == 1  # 1 epoch -> 1 kept checkpoint
 
 
+@pytest.mark.slow
 def test_train_dcase_driver_beats_arch(tmp_path):
     """--arch beats: a released-format torch checkpoint (cfg + model
     state_dict) drives the same SED pipeline through the BEATs adapter
@@ -150,6 +152,7 @@ def test_train_dcase_driver_beats_arch(tmp_path):
         assert 0.0 <= res[k] <= 1.0
 
 
+@pytest.mark.slow
 def test_train_dcase_driver_byola_arch(tmp_path):
     """--arch byola: a released-format BYOL-A .pth drives the SED
     pipeline through the CNN adapter (reference train_dcase.py:141)."""

@@ -56,6 +56,7 @@ def _tiny_method(cfg):
     return method, sp
 
 
+@pytest.mark.slow
 def test_distill_other_single_label_step():
     """CE distill+supervised losses, central crop (single-label path)."""
     cfg = DistillConfig(num_labels=5, max_len=1.0, learning_rate=0.05,
@@ -107,6 +108,7 @@ def _make_spcv2_dir(root, labels=("yes", "no", "stop"), n_per=4):
         f.write("\n".join(test_rel) + "\n")
 
 
+@pytest.mark.slow
 def test_train_distill_other_driver_e2e(tmp_path):
     """Full driver on a synthetic spcv2-shaped dataset with a real
     torch teacher checkpoint (tiny dims) parsed via the importer."""

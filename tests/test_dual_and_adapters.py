@@ -62,6 +62,7 @@ def test_variance_loss():
     assert float(l) < 0.05
 
 
+@pytest.mark.slow
 def test_dual_training_step():
     m, cfg = make_tiny_method()
     state = m.init_state(jax.random.PRNGKey(0))

@@ -83,6 +83,7 @@ def test_clip_forward_parity(torch_ast):
     assert np.abs(ours - ref).max() < TOL
 
 
+@pytest.mark.slow
 def test_clip_chunked_probe_parity(torch_ast):
     """get_intermediate_layers_chunks: the downstream linear-probe feature
     path (12 blocks, cls+avg, chunk-mark weighting over 2 chunks)."""

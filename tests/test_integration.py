@@ -29,6 +29,7 @@ def tiny_frame_method(cfg):
     return m
 
 
+@pytest.mark.slow
 def test_runner_pretrain_and_resume(tmp_path):
     data = str(tmp_path / "data")
     write_synthetic_pack(data, "train", 32, min_s=0.6, max_s=1.0)
@@ -60,6 +61,7 @@ def test_runner_pretrain_and_resume(tmp_path):
     assert a.shape == b.shape
 
 
+@pytest.mark.slow
 def test_embedding_api_scene_and_timestamp():
     from audiossl_tpu.embedding import (
         EmbeddingModel,
@@ -85,6 +87,7 @@ def test_embedding_api_scene_and_timestamp():
     assert float(ts[0, 1] - ts[0, 0]) == pytest.approx(40.0)
 
 
+@pytest.mark.slow
 def test_runner_profile_trace(tmp_path):
     """--profile_at captures a jax.profiler trace directory mid-run."""
     data = str(tmp_path / "data")
@@ -135,6 +138,7 @@ def test_per_process_loader_shards_union_to_global():
             np.concatenate([b0["label"], b1["label"]]), bf["label"])
 
 
+@pytest.mark.slow
 def test_zero1_optimizer_sharding_matches_replicated(tmp_path):
     """shard_optimizer=True (ZeRO-1: Adam moments sharded over the data
     mesh) must produce the same training trajectory as the replicated

@@ -25,6 +25,7 @@ def _save_tiny_encoder(tmp_path, use_cls):
     return ckpt
 
 
+@pytest.mark.slow
 def test_train_finetune_driver(tmp_path):
     from audiossl_tpu.downstream.train_finetune import main
 
@@ -46,6 +47,7 @@ def test_train_finetune_driver(tmp_path):
     assert 0.0 <= res["test"] <= 1.0
 
 
+@pytest.mark.slow
 def test_train_as_strong_driver(tmp_path):
     from audiossl_tpu.downstream.train_as_strong import main
 

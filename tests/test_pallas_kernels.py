@@ -137,6 +137,7 @@ def test_pallas_mel_interpret():
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_encoder_blocks_infer_matches_flax():
     """Whole-block fused inference kernels (interpret mode) vs the flax
     Block stack, with ragged valid lengths."""

@@ -49,6 +49,7 @@ def mesh():
     return data_mesh()
 
 
+@pytest.mark.slow
 def test_clip_pretrain_step(mesh):
     cfg = ClipPretrainConfig(arch="small", anchor_len=(1.0, 1.0),
                              positive_len=(1.0, 1.0), optimizer=OPT)
@@ -79,6 +80,7 @@ def test_clip_pretrain_step(mesh):
     assert int(state.step) == 6
 
 
+@pytest.mark.slow
 def test_frame_pretrain_step(mesh):
     cfg = FramePretrainConfig(arch="small", anchor_len=1.0, optimizer=OPT)
     m = FrameMethod(cfg)

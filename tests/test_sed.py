@@ -188,6 +188,7 @@ def params_wrap(p):
     return {"params": p}
 
 
+@pytest.mark.slow
 def test_sed_task_train_step():
     from audiossl_tpu.models.atst import AudioTransformer
     from audiossl_tpu.sed.module import SEDConfig, SEDTask
