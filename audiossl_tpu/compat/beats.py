@@ -332,15 +332,17 @@ def _kaldi_mel_banks(num_bins, n_fft, sr, low_freq=20.0, high_freq=0.0):
 
 
 def kaldi_fbank(wav, num_mel_bins=128, sr=16000, frame_length_ms=25.0,
-                frame_shift_ms=10.0, preemphasis=0.97):
+                frame_shift_ms=10.0, preemphasis=0.97,
+                window_type="povey"):
     """Kaldi-compatible log-mel fbank of [B, L] waveforms -> [B, T, M].
 
     Matches ta_kaldi.fbank(waveform, num_mel_bins=..., ...) semantics:
     snip_edges framing, per-frame DC removal, preemphasis with
-    replicated first sample, povey window, power spectrum on a
+    replicated first sample, povey/hanning window, power spectrum on a
     512-point FFT, kaldi mel filters, ln(max(e, eps)). The caller is
     responsible for the reference's 2**15 scaling and normalization
-    (beats_module.py:44-47)."""
+    (beats_module.py:44-47). ``window_type='hanning'`` matches the
+    reference SSAST/AudioMAE transforms (ssast_module.py:73)."""
     wav = jnp.asarray(wav, jnp.float32)
     B, L = wav.shape
     win = int(sr * frame_length_ms / 1000.0)  # 400
@@ -353,8 +355,14 @@ def kaldi_fbank(wav, num_mel_bins=128, sr=16000, frame_length_ms=25.0,
     prev = jnp.concatenate([frames[..., :1], frames[..., :-1]], axis=-1)
     frames = frames - preemphasis * prev
     n = np.arange(win, dtype=np.float64)
-    povey = (0.5 - 0.5 * np.cos(2 * np.pi * n / (win - 1))) ** 0.85
-    frames = frames * jnp.asarray(povey, jnp.float32)
+    hanning = 0.5 - 0.5 * np.cos(2 * np.pi * n / (win - 1))
+    if window_type == "povey":
+        window = hanning ** 0.85
+    elif window_type == "hanning":
+        window = hanning
+    else:
+        raise ValueError(f"unsupported window_type {window_type!r}")
+    frames = frames * jnp.asarray(window, jnp.float32)
     frames = jnp.pad(frames, ((0, 0), (0, 0), (0, n_fft - win)))
     spec = jnp.fft.rfft(frames, n=n_fft)
     power = jnp.abs(spec) ** 2
