@@ -80,19 +80,24 @@ def convert_audiomae_checkpoint(sd):
     The reference drops classifier-head keys and loads the rest
     strict=False (audioMAE_module.py:36-41); only the encoder trunk is
     consumed here."""
-    return {"vit": convert_timm_vit_state_dict(sd, depth=12)}
+    from audiossl_tpu.compat.vit import infer_depth
+
+    return {"vit": convert_timm_vit_state_dict(sd, depth=infer_depth(sd))}
 
 
 def load_audiomae_checkpoint(path: str):
     """Released AudioMAE .pth -> (AudioMAEEncoder, params)."""
     import torch
 
+    from audiossl_tpu.compat.vit import heads_for_dim, infer_depth
+
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model", ckpt)
     params = convert_audiomae_checkpoint(sd)
-    n_pos = params["vit"]["pos_embed"].shape[0]
+    n_pos, D = params["vit"]["pos_embed"].shape
     enc = AudioMAEEncoder(
-        ViTConfig(max_patches=n_pos - 1))
+        ViTConfig(embed_dim=D, depth=infer_depth(sd),
+                  num_heads=heads_for_dim(D), max_patches=n_pos - 1))
     return enc, jax.tree.map(jnp.asarray, params)
 
 

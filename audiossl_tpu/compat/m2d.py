@@ -109,7 +109,9 @@ def convert_m2d_checkpoint(sd):
     """torch M2D ``checkpoint['model']`` -> flax params. Consumes the
     encoder trunk (timm naming); target/decoder/mask_token weights are
     dropped exactly like the reference's encoder use."""
-    return {"vit": convert_timm_vit_state_dict(sd, depth=12)}
+    from audiossl_tpu.compat.vit import infer_depth
+
+    return {"vit": convert_timm_vit_state_dict(sd, depth=infer_depth(sd))}
 
 
 def load_m2d_checkpoint(path: str, input_size=(80, 208),
@@ -128,13 +130,18 @@ def load_m2d_checkpoint(path: str, input_size=(80, 208),
     if m:
         input_size = (int(m.group(1)), int(m.group(2)))
         patch_size = (int(m.group(3)), int(m.group(4)))
+    from audiossl_tpu.compat.vit import heads_for_dim, infer_depth
+
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model", ckpt)
     params = convert_m2d_checkpoint(sd)
+    D = params["vit"]["pos_embed"].shape[-1]
     gh, gw = (input_size[0] // patch_size[0],
               input_size[1] // patch_size[1])
     enc = M2DEncoder(
-        ViTConfig(patch_size=patch_size, max_patches=gh * gw),
+        ViTConfig(embed_dim=D, depth=infer_depth(sd),
+                  num_heads=heads_for_dim(D), patch_size=patch_size,
+                  max_patches=gh * gw),
         unit_frames=input_size[1])
     return enc, jax.tree.map(jnp.asarray, params)
 

@@ -110,10 +110,13 @@ def convert_ssast_checkpoint(sd, fshape=128, tshape=2,
             "finetune grid larger than pretraining grid needs the "
             "bilinear-interpolation branch (ssast.py:195)")
 
+    from audiossl_tpu.compat.vit import heads_for_dim, infer_depth
+
     dist = "v.dist_token" in sd
     n_prefix = 2 if dist else 1
+    depth = infer_depth(sd, prefix="v.")
     params = convert_timm_vit_state_dict(
-        sd, depth=12, prefix="v.", dist_token=dist)
+        sd, depth=depth, prefix="v.", dist_token=dist)
     D = params["pos_embed"].shape[-1]
     pos = params["pos_embed"]  # [prefix + p_f*p_t, D]
     grid = pos[n_prefix:].reshape(p_f_dim, p_t_dim, D)
@@ -122,8 +125,8 @@ def convert_ssast_checkpoint(sd, fshape=128, tshape=2,
     grid = grid[f0: f0 + f_dim, t0: t0 + t_dim]
     params["pos_embed"] = np.concatenate(
         [pos[:n_prefix], grid.reshape(f_dim * t_dim, D)], axis=0)
-    cfg = ViTConfig(embed_dim=D, depth=12,
-                    num_heads={768: 12, 384: 6, 192: 3}[D],
+    cfg = ViTConfig(embed_dim=D, depth=depth,
+                    num_heads=heads_for_dim(D),
                     patch_size=(fshape, tshape), num_prefix=n_prefix,
                     max_patches=f_dim * t_dim)
     return params, cfg

@@ -108,6 +108,21 @@ def _np(t):
                       np.float32)
 
 
+def infer_depth(sd, prefix: str = "") -> int:
+    """Number of blocks in a timm-layout state dict."""
+    ns = [int(k[len(prefix):].split(".")[1]) for k in sd
+          if k.startswith(prefix + "blocks.")]
+    return max(ns) + 1
+
+
+def heads_for_dim(embed_dim: int) -> int:
+    """ViT head count for an embed dim: the timm tiny/small/base table,
+    dim/64 otherwise (the released-checkpoint families are all in the
+    table; the fallback supports small synthetic test checkpoints)."""
+    return {768: 12, 384: 6, 192: 3}.get(embed_dim,
+                                         max(1, embed_dim // 64))
+
+
 def convert_timm_vit_state_dict(sd, depth: int, prefix: str = "",
                                 dist_token: bool = False):
     """timm-layout torch state dict -> flax params for :class:`TimmViT`.

@@ -3,14 +3,14 @@ drivers (reference ``downstream/comparison_models/*_module.py`` — 11
 adapters exposing ``forward(batch) -> frame_embeddings``, ``transform``,
 ``freeze()/finetune_mode()``).
 
-Adapters for this framework's own model families are provided
-(clip-ATST, frame-ATST, distilled frame-ATST). The reference
-additionally vendors ~7k LoC of third-party torch encoders (SSAST,
-BEATs, AudioMAE, BYOL-A, M2D, MAE-AST) purely for paper comparisons;
-those are external checkpoints with their own licenses and are NOT
-re-implemented here — ``register_adapter`` is the extension point for
-plugging any encoder with the same surface into train_dcase /
-train_as_strong / train_freeze.
+Adapters for this framework's own model families (clip-ATST,
+frame-ATST, distilled frame-ATST) plus flax ports of the third-party
+comparison encoders the reference vendors: BEATs, BYOL-A, AudioMAE,
+M2D ("mmd"), SSAST frame+patch (see ``audiossl_tpu/compat/``; each
+has a released-checkpoint importer and a torch forward-parity
+test). ``register_adapter`` remains the
+extension point for plugging any further encoder with the same
+surface into train_dcase / train_as_strong / train_freeze.
 """
 from __future__ import annotations
 
@@ -202,6 +202,54 @@ def _beats(ckpt_path: str, **kw):
     kw.pop("arch", None)
     enc, params = load_beats_checkpoint(ckpt_path)
     return BEATsAdapter(encoder=enc, params=params, **kw)
+
+
+@register_adapter("audioMAE")
+def _audiomae(ckpt_path: str, **kw):
+    """Released AudioMAE .pth -> flax adapter (reference
+    train_dcase.py:149-150 + audioMAE_module.py)."""
+    from audiossl_tpu.compat.audiomae import (
+        AudioMAEAdapter,
+        load_audiomae_checkpoint,
+    )
+
+    kw.pop("arch", None)
+    enc, params = load_audiomae_checkpoint(ckpt_path)
+    return AudioMAEAdapter(encoder=enc, params=params, **kw)
+
+
+@register_adapter("mmd")
+def _mmd(ckpt_path: str, **kw):
+    """Released M2D .pth -> flax adapter (reference
+    train_dcase.py:157-158 + mmd_module.py)."""
+    from audiossl_tpu.compat.m2d import M2DAdapter, load_m2d_checkpoint
+
+    kw.pop("arch", None)
+    enc, params = load_m2d_checkpoint(ckpt_path)
+    return M2DAdapter(encoder=enc, params=params, **kw)
+
+
+@register_adapter("ssast")
+def _ssast(ckpt_path: str, **kw):
+    """Released SSAST SSL checkpoint, frame (128x2) variant ->
+    flax adapter (reference train_dcase.py:143-144 + ssast_module.py)."""
+    from audiossl_tpu.compat.ssast import SSASTAdapter, load_ssast_checkpoint
+
+    kw.pop("arch", None)
+    enc, params = load_ssast_checkpoint(ckpt_path, variant="frame")
+    return SSASTAdapter(encoder=enc, params=params, **kw)
+
+
+@register_adapter("patchssast")
+def _patch_ssast(ckpt_path: str, **kw):
+    """Released SSAST SSL checkpoint, patch (16x16) variant ->
+    flax adapter (reference train_dcase.py:145-146 +
+    patch_ssast_module.py)."""
+    from audiossl_tpu.compat.ssast import SSASTAdapter, load_ssast_checkpoint
+
+    kw.pop("arch", None)
+    enc, params = load_ssast_checkpoint(ckpt_path, variant="patch")
+    return SSASTAdapter(encoder=enc, params=params, **kw)
 
 
 class EnsembleModel:

@@ -1,0 +1,97 @@
+"""AudioMAE compat family: forward parity vs the reference torch
+model (randomly initialized — no egress for released checkpoints, same
+protocol as tests/test_beats_parity.py).
+
+The reference model (comparison_models/models/audioMAE_model.py) is
+imported under the tests/timm_stub.py shim (timm absent in this env);
+the torch forward below replicates AudioMAEModel.forward
+(audioMAE_module.py:45-63) exactly — AudioMAEModel itself demands a
+checkpoint path in __init__.
+"""
+import importlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from ref_stubs import install_reference_stubs  # noqa: E402
+from timm_stub import install_timm_stub  # noqa: E402
+
+
+def _import_ref_audiomae():
+    install_reference_stubs()
+    install_timm_stub()
+    return importlib.import_module(
+        "audiossl.methods.atstframe.downstream.comparison_models"
+        ".models.audioMAE_model")
+
+
+def _ref_forward(enc, x):
+    """AudioMAEModel.forward (audioMAE_module.py:45-63): fbank
+    [B, T, 128] -> frame embeddings [B, T//16, 768]."""
+    x = x.unsqueeze(1)
+    x = enc.patch_embed(x)
+    B, T, _ = x.shape
+    x = x + enc.pos_embed[:, 1: T + 1, :]
+    cls_token = enc.cls_token + enc.pos_embed[:, :1, :]
+    x = torch.cat((cls_token.expand(B, -1, -1), x), dim=1)
+    for blk in enc.blocks:
+        x = blk(x)
+    x = x[:, 1:, :]
+    x = enc.norm(x)
+    return torch.nn.functional.avg_pool1d(
+        x.transpose(-1, -2), 8, 8).transpose(-1, -2)
+
+
+@pytest.mark.slow
+def test_audiomae_forward_parity():
+    mod = _import_ref_audiomae()
+    torch.manual_seed(0)
+    enc = mod.vit_base_patch16()
+    enc.patch_embed = mod.PatchEmbed_new(
+        img_size=(1024, 128), patch_size=(16, 16), in_chans=1,
+        embed_dim=768, stride=16)
+    # the reference re-creates pos_embed as an untrained zeros buffer
+    # and fills it from the checkpoint (audioMAE_module.py:29); use a
+    # random one so the test exercises the import of it
+    enc.pos_embed = torch.nn.Parameter(
+        torch.randn(1, enc.patch_embed.num_patches + 1, 768) * 0.02,
+        requires_grad=False)
+    enc.eval()
+
+    rng = np.random.RandomState(0)
+    fb = rng.randn(2, 96, 128).astype(np.float32)
+    with torch.no_grad():
+        ref = _ref_forward(enc, torch.from_numpy(fb)).numpy()
+
+    from audiossl_tpu.compat.audiomae import (
+        AudioMAEEncoder,
+        convert_audiomae_checkpoint,
+    )
+
+    params = jax.tree.map(jnp.asarray,
+                          convert_audiomae_checkpoint(enc.state_dict()))
+    out = AudioMAEEncoder().apply({"params": params}, jnp.asarray(fb))
+    assert out.shape == ref.shape == (2, 6, 768)
+    assert float(np.abs(np.asarray(out) - ref).max()) < 1e-3
+
+
+def test_audiomae_adapter_token_count():
+    from audiossl_tpu.compat.audiomae import (
+        AudioMAEAdapter,
+        AudioMAEEncoder,
+        audiomae_fbank,
+    )
+    from audiossl_tpu.compat.vit import ViTConfig
+
+    enc = AudioMAEEncoder(ViTConfig(embed_dim=32, depth=1, num_heads=2,
+                                    max_patches=512))
+    wav = jnp.zeros((1, 160000))
+    fb = audiomae_fbank(wav)
+    params = enc.init(jax.random.PRNGKey(0), fb)["params"]
+    ad = AudioMAEAdapter(enc, params)
+    out = ad.frame_embeddings(params, wav, jnp.asarray([160000]))
+    assert out.shape[1] == ad.token_count(160000)
