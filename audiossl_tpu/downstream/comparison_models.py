@@ -6,9 +6,11 @@ adapters exposing ``forward(batch) -> frame_embeddings``, ``transform``,
 Adapters for this framework's own model families (clip-ATST,
 frame-ATST, distilled frame-ATST) plus flax ports of the third-party
 comparison encoders the reference vendors: BEATs, BYOL-A, AudioMAE,
-M2D ("mmd"), SSAST frame+patch (see ``audiossl_tpu/compat/``; each
-has a released-checkpoint importer and a torch forward-parity
-test). ``register_adapter`` remains the
+M2D ("mmd"), SSAST frame+patch, MAE-AST frame+patch (see
+``audiossl_tpu/compat/``; each has a released-checkpoint importer and
+a torch forward-parity test — all 11 of the reference's ``--arch``
+dispatch entries, train_dcase.py:139-161, are covered).
+``register_adapter`` remains the
 extension point for plugging any further encoder with the same
 surface into train_dcase / train_as_strong / train_freeze.
 """
@@ -250,6 +252,34 @@ def _patch_ssast(ckpt_path: str, **kw):
     kw.pop("arch", None)
     enc, params = load_ssast_checkpoint(ckpt_path, variant="patch")
     return SSASTAdapter(encoder=enc, params=params, **kw)
+
+
+@register_adapter("maeast")
+def _maeast(ckpt_path: str, **kw):
+    """Released MAE-AST frame-variant .pt -> flax adapter (reference
+    train_dcase.py:141-142 + mae_ast_module.py)."""
+    from audiossl_tpu.compat.maeast import (
+        MAEASTAdapter,
+        load_maeast_checkpoint,
+    )
+
+    kw.pop("arch", None)
+    enc, params = load_maeast_checkpoint(ckpt_path, variant="frame")
+    return MAEASTAdapter(encoder=enc, params=params, **kw)
+
+
+@register_adapter("patchmaeast")
+def _patch_maeast(ckpt_path: str, **kw):
+    """Released MAE-AST patch-variant .pt -> flax adapter (reference
+    train_dcase.py:147-148 + mae_ast_patch_module.py)."""
+    from audiossl_tpu.compat.maeast import (
+        MAEASTAdapter,
+        load_maeast_checkpoint,
+    )
+
+    kw.pop("arch", None)
+    enc, params = load_maeast_checkpoint(ckpt_path, variant="patch")
+    return MAEASTAdapter(encoder=enc, params=params, **kw)
 
 
 class EnsembleModel:

@@ -53,10 +53,10 @@ def build_parser():
     p.add_argument("--pretrained_ckpt_path", required=True)
     p.add_argument("--data_path", required=True)
     p.add_argument("--save_path", default=None)
+    from audiossl_tpu.downstream.comparison_models import list_adapters
+
     p.add_argument("--arch", default="base",
-                   choices=["tiny", "small", "base",
-                            "frameatst", "clipatst", "distillatst",
-                            "beats", "byola"],
+                   choices=["tiny", "small", "base"] + list_adapters(),
                    help="own frame-AST size tier, or a comparison-"
                         "model adapter name (reference "
                         "train_as_strong.py dispatch)")
