@@ -13,6 +13,7 @@ import json
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
@@ -104,7 +105,68 @@ def build_parser():
     p.add_argument("--median_window", type=int, default=7)
     p.add_argument("--freeze_mode", action="store_true")
     p.add_argument("--save_top_k", type=int, default=3)
+    # distill mode: frozen finetuned SED teacher added to the loss
+    # (reference utils_dcase/model_distill.py + train_dcase.py:59-71
+    # --distill_mode; here the teacher is named explicitly instead of
+    # the clip<->frame mode string)
+    p.add_argument("--distill_ckpt", default=None,
+                   help="teacher SED checkpoint: a previous run's "
+                        "save_path (best of top/) or a direct state "
+                        "dir; enables distill mode")
+    p.add_argument("--distill_arch", default="frameatst",
+                   help="teacher encoder arch (size tier or adapter "
+                        "name, like --arch)")
+    p.add_argument("--distill_pretrained_ckpt_path", default=None,
+                   help="pretrained checkpoint used to construct the "
+                        "teacher encoder module (the teacher's "
+                        "--pretrained_ckpt_path)")
+    p.add_argument("--distill_weight", type=float, default=1.0,
+                   help="weight of the teacher BCE term; 1.0 = the "
+                        "reference's tot/2 + loss_d/2 ratio")
     return p
+
+
+def build_sed_teacher(sed_ckpt, arch, pretrained_ckpt, num_labels):
+    """Frozen finetuned SED teacher -> ``teacher_fn(wav, valid) ->
+    (strong probs [B,C,T], weak probs [B,C])``.
+
+    Reference utils_dcase/model_distill.py:163-174 +
+    distill_atst_module.py:17-31: the teacher is a full finetuned SED
+    model (encoder of the other family + trained SED head) loaded from
+    a finetuned checkpoint and kept frozen. Here the checkpoint is a
+    state saved by this driver (TopKKeeper layout or a direct
+    ``save_params`` dir)."""
+    from audiossl_tpu.downstream.comparison_models import (
+        EncoderAdapter,
+        get_adapter,
+    )
+    from audiossl_tpu.sed.head import SEDHead
+    from audiossl_tpu.training.checkpoint import restore_params
+
+    if arch in ("tiny", "small", "base"):
+        enc_mod, _ = load_encoder(pretrained_ckpt, "frame", arch,
+                                  spec_w=1001)
+        adapter = EncoderAdapter(encoder=enc_mod, params=None)
+    else:
+        adapter = get_adapter(arch, ckpt_path=pretrained_ckpt)
+    head = SEDHead(num_labels=num_labels)
+
+    index_path = os.path.join(sed_ckpt, "top", "index.json")
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            index = {int(k): float(v) for k, v in json.load(f).items()}
+        tag = max(index, key=lambda t: index[t])
+        tree = restore_params(os.path.join(sed_ckpt, "top", str(tag)))
+    else:
+        tree = restore_params(sed_ckpt)
+    enc_p = jax.tree.map(jnp.asarray, tree["enc_params"])
+    head_p = jax.tree.map(jnp.asarray, tree["head_params"])
+
+    def teacher_fn(wav, valid):
+        frames = adapter.frame_embeddings(enc_p, wav, valid)
+        return head.apply({"params": head_p}, frames)
+
+    return teacher_fn
 
 
 def main(argv=None):
@@ -134,14 +196,21 @@ def main(argv=None):
     train_loader = MixedBatchLoader(
         [synth, weak], [args.batch_size_synth, args.batch_size_weak],
         mode=1)
+    teacher_fn = None
+    if args.distill_ckpt:
+        teacher_fn = build_sed_teacher(
+            args.distill_ckpt, args.distill_arch,
+            args.distill_pretrained_ckpt_path, info.num_labels)
     cfg = SEDConfig(num_labels=info.num_labels,
                     learning_rate=args.learning_rate,
                     max_epochs=args.max_epochs,
                     steps_per_epoch=max(len(train_loader), 1),
                     warmup_epochs=args.warmup_epochs,
                     median_window=args.median_window,
-                    freeze_mode=args.freeze_mode)
-    task = SEDTask(enc_mod, cfg)
+                    freeze_mode=args.freeze_mode,
+                    distill_weight=(args.distill_weight
+                                    if args.distill_ckpt else 0.0))
+    task = SEDTask(enc_mod, cfg, teacher_fn=teacher_fn)
     state = task.init_state(jax.random.PRNGKey(0), enc_params)
     step = jax.jit(task.make_train_step(), donate_argnums=0)
     predict = jax.jit(task.make_predict_fn())

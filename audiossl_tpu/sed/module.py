@@ -68,9 +68,12 @@ class SEDTask:
         train_dcase.py:139-175 dispatches 11 such modules).
 
         ``teacher_fn(wav, valid) -> (strong [B,C,T], weak [B,C])``
-        logits of a frozen teacher enables the distill mode (reference
-        utils_dcase/model_distill.py: clip-ATST teacher predictions
-        added to the SED loss with weight cfg.distill_weight)."""
+        *probabilities* of a frozen finetuned SED teacher (the
+        SEDHead output surface) enables the distill mode (reference
+        utils_dcase/model_distill.py:163-190: teacher strong+weak
+        predictions added as BCE terms, ``loss_d = (strong_d +
+        weak_d)/2``, scaled by cfg.distill_weight — weight 1.0
+        reproduces the reference's ``tot/2 + loss_d/2`` ratio)."""
         self.encoder = encoder
         if isinstance(encoder, AudioTransformer):
             from audiossl_tpu.downstream.comparison_models import (
@@ -150,12 +153,21 @@ class SEDTask:
                 if self.teacher_fn is not None and \
                         cfg.distill_weight > 0:
                     t_strong, t_weak = self.teacher_fn(wav, valid)
+                    Td = min(T, t_strong.shape[-1])
                     t_strong = jax.lax.stop_gradient(
-                        jax.nn.sigmoid(t_strong))[..., :T]
-                    bce_d = -(t_strong * jnp.log(strong + eps)
-                              + (1 - t_strong)
-                              * jnp.log(1 - strong + eps))
-                    total = total + cfg.distill_weight * bce_d.mean()
+                        t_strong)[..., :Td]
+                    t_weak = jax.lax.stop_gradient(t_weak)
+                    s_d = strong[..., :Td]
+                    bce_ds = -(t_strong * jnp.log(s_d + eps)
+                               + (1 - t_strong)
+                               * jnp.log(1 - s_d + eps))
+                    bce_dw = -(t_weak * jnp.log(weak + eps)
+                               + (1 - t_weak)
+                               * jnp.log(1 - weak + eps))
+                    # reference loss_d = (strong_d + weak_d)/2
+                    # (model_distill.py:170-174)
+                    total = total + cfg.distill_weight * 0.5 * (
+                        bce_ds.mean() + bce_dw.mean())
                 return total, (strong_loss, weak_loss)
 
             (loss, (sl, wl)), grads = jax.value_and_grad(

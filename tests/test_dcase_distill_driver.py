@@ -1,0 +1,96 @@
+"""DCASE distill-mode driver wiring: a finetuned SED run's checkpoint
+becomes the frozen teacher of a second run (reference
+utils_dcase/model_distill.py + train_dcase.py --distill_mode).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from test_dcase_driver import _make_dcase_dir
+
+
+@pytest.mark.slow
+def test_train_dcase_distill_mode(tmp_path):
+    from audiossl_tpu.downstream.train_dcase import (
+        build_sed_teacher,
+        main,
+    )
+    from audiossl_tpu.models.atst import frame_ast_tiny
+    from audiossl_tpu.training.checkpoint import save_params
+
+    enc = frame_ast_tiny(spec_w=1001)
+    params = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 101)),
+                      length=jnp.asarray([101]),
+                      deterministic=True)["params"]
+    ckpt = str(tmp_path / "enc")
+    save_params(ckpt, params)
+
+    data = str(tmp_path / "dcase")
+    _make_dcase_dir(data)
+
+    # run 1: plain finetune, persisting the teacher state
+    teacher_save = str(tmp_path / "teacher_run")
+    common = ["--pretrained_ckpt_path", ckpt, "--data_path", data,
+              "--arch", "tiny", "--batch_size_synth", "2",
+              "--batch_size_weak", "2", "--max_epochs", "1",
+              "--warmup_epochs", "0", "--learning_rate", "0.01"]
+    main(common + ["--save_path", teacher_save])
+
+    # the teacher_fn surface: SEDHead probabilities of correct shape
+    teacher_fn = build_sed_teacher(teacher_save, "tiny", ckpt,
+                                   num_labels=10)
+    wav = jnp.asarray(
+        np.random.RandomState(0).randn(2, 160000).astype(np.float32)
+        * 0.05)
+    valid = jnp.asarray([160000, 160000], jnp.int32)
+    t_strong, t_weak = teacher_fn(wav, valid)
+    assert t_strong.shape[0] == 2 and t_strong.shape[1] == 10
+    assert t_weak.shape == (2, 10)
+    assert float(t_strong.min()) >= 0.0 and float(t_strong.max()) <= 1.0
+
+    # run 2: distill mode from the teacher checkpoint
+    res = main(common + ["--distill_ckpt", teacher_save,
+                         "--distill_arch", "tiny",
+                         "--distill_pretrained_ckpt_path", ckpt,
+                         "--distill_weight", "1.0"])
+    for k in ("psds1", "psds2", "event_f1"):
+        assert k in res
+        assert 0.0 <= res[k] <= 1.0
+
+
+def test_distill_term_changes_loss(tmp_path):
+    """The teacher BCE term materially changes the training loss for
+    the same state/batch (VERDICT r2 item 6 'done' criterion)."""
+    from audiossl_tpu.models.atst import AudioTransformer
+    from audiossl_tpu.sed.module import SEDConfig, SEDTask
+
+    enc_mod = AudioTransformer(embed_dim=32, depth=2, num_heads=2,
+                               spec_h=64, spec_w=101, use_cls=False)
+    enc_params = enc_mod.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 101)),
+        length=jnp.asarray([101]), deterministic=True)["params"]
+    B, T_enc = 2, 25
+
+    def teacher_fn(wav, valid):
+        return (jnp.full((wav.shape[0], 3, T_enc), 0.9),
+                jnp.full((wav.shape[0], 3), 0.9))
+
+    rng = np.random.RandomState(0)
+    base = dict(num_labels=3, learning_rate=0.0, max_epochs=1,
+                steps_per_epoch=1, warmup_epochs=0, audio_len=1.0)
+    batch = {
+        "wav": rng.randn(B, 16000).astype(np.float32) * 0.1,
+        "valid": np.full(B, 16000, np.int32),
+        "strong": (rng.rand(B, T_enc, 3) > 0.8).astype(np.float32),
+        "source": np.array([0, 1], np.int32),
+    }
+    losses = {}
+    for w in (0.0, 1.0):
+        task = SEDTask(enc_mod, SEDConfig(distill_weight=w, **base),
+                       teacher_fn=teacher_fn)
+        state = task.init_state(jax.random.PRNGKey(1), enc_params)
+        _, m = jax.jit(task.make_train_step())(state, batch)
+        losses[w] = float(m["loss"])
+    assert np.isfinite(losses[0.0]) and np.isfinite(losses[1.0])
+    assert abs(losses[1.0] - losses[0.0]) > 1e-3

@@ -234,9 +234,10 @@ def test_sed_task_distill_mode():
     B, T_enc = 4, 25
 
     def teacher_fn(wav, valid):
-        # frozen teacher stand-in: constant logits
-        return (jnp.zeros((wav.shape[0], 3, T_enc)),
-                jnp.zeros((wav.shape[0], 3)))
+        # frozen teacher stand-in: constant probabilities (the
+        # SEDHead-output surface the driver's build_sed_teacher wraps)
+        return (jnp.full((wav.shape[0], 3, T_enc), 0.5),
+                jnp.full((wav.shape[0], 3), 0.5))
 
     cfg = SEDConfig(num_labels=3, learning_rate=0.05, max_epochs=1,
                     steps_per_epoch=2, warmup_epochs=0, audio_len=1.0,
