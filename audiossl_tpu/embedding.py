@@ -70,8 +70,10 @@ def load_model(ckpt_path: str, arch: Optional[str] = None,
         params = restore_params(ckpt_path)
         if arch is None:
             arch = "base"
-    enc = {"small": frame_ast_small, "base": frame_ast_base}[arch](
-        spec_w=CHUNK_FRAMES)
+    from audiossl_tpu.models.atst import frame_ast_tiny
+
+    enc = {"tiny": frame_ast_tiny, "small": frame_ast_small,
+           "base": frame_ast_base}[arch](spec_w=CHUNK_FRAMES)
     return EmbeddingModel(encoder=enc, params=params)
 
 
