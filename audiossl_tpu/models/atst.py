@@ -239,9 +239,39 @@ class AudioTransformer(nn.Module):
             lengths = jnp.full((x.shape[0],), N0, jnp.int32)
         if lengths is not None:
             attn_mask = length_to_attn_mask(lengths, x.shape[1])
+        # student training path: the MLP residual half of each block
+        # runs as ONE trainable Pallas kernel pair with in-kernel
+        # weight-grad accumulation (ops/pallas_mlp.py); the attention
+        # half keeps the flax route (which already uses the fused MHA
+        # kernel)
+        use_mlp_fused = (
+            self.fused_attention and not deterministic and not self.remat
+            and self.drop_rate == 0.0 and self.attn_drop_rate == 0.0
+            and jnp.dtype(self.dtype) == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+            and not self.is_initializing())
         collected = []
         for i, blk in enumerate(self.blocks):
-            x = blk(x, attn_mask, deterministic)
+            if use_mlp_fused:
+                from audiossl_tpu.ops.pallas_mlp import fused_mlp_block
+
+                x = blk(x, attn_mask, deterministic, attn_only=True)
+                rate = self.drop_path_rate * i / max(self.depth - 1, 1)
+                if rate > 0.0:
+                    keep = 1.0 - rate
+                    u = jax.random.uniform(self.make_rng("droppath"),
+                                           (x.shape[0],))
+                    dpm = jnp.floor(keep + u) / keep
+                else:
+                    dpm = jnp.ones((x.shape[0],), jnp.float32)
+                p = blk.variables["params"]
+                x = fused_mlp_block(
+                    x, dpm, p["norm2"]["scale"], p["norm2"]["bias"],
+                    p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
+                    p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"],
+                    self.eps)
+            else:
+                x = blk(x, attn_mask, deterministic)
             if collect_from is not None and i >= collect_from:
                 collected.append(x)
         if pad:

@@ -160,7 +160,7 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, attn_mask=None, deterministic=True,
-                 return_attention=False):
+                 return_attention=False, attn_only=False):
         y = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
         if return_attention:
             # reference Block.forward(return_attention=True)
@@ -178,6 +178,11 @@ class Block(nn.Module):
             y = drop_path(y, self.drop_path_rate, deterministic,
                           self.make_rng("droppath"))
         x = x + y
+        if attn_only:
+            # caller runs the MLP residual half itself (the trainable
+            # fused kernel path, models/atst.run_blocks +
+            # ops/pallas_mlp.py)
+            return x
         y = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm2")(x)
         y = Mlp(self.dim, int(self.dim * self.mlp_ratio), self.drop,
                 dtype=self.dtype, name="mlp")(y, deterministic)

@@ -1,0 +1,280 @@
+"""Trainable fused MLP residual sub-block (LN -> fc1 -> GELU -> fc2 ->
+stochastic-depth residual) with in-kernel weight-gradient accumulation.
+
+The inference forwards already run as whole-block resident-weight
+kernels (ops/pallas_block.py). This is the TRAINING counterpart for
+the student encoder — a custom_vjp whose design follows a MEASURED
+split (v5e, ViT-base, 192 sequences x 256 tokens per layer-pass):
+
+Measured reality check (every variant benchmarked end-to-end in the
+production step, v5e, B=96): the XLA per-op path, this whole-block
+custom_vjp pair, and an XLA-fwd/Pallas-bwd hybrid all land within
+~±2% of each other (328 / 330 / 322 clips/s) — XLA's pipelined
+per-op fusions are already at ~145-160 TF/s effective here, so the
+"whole-block training kernels" estimate from the round-2 handoff
+(+20-30 clips/s) did NOT materialize; isolated-kernel wins (the
+hybrid's backward is 0.9 ms/layer-pass faster standalone) are eaten
+by lost cross-op overlap in the full step graph. The pair is kept
+(it wins slightly and holds the door open for deeper fusion):
+
+* **forward kernel**: LN -> fc1 -> exact GELU -> fc2 -> residual with
+  weights resident in VMEM; saves one residual, the fc1
+  pre-activation ``u`` (bf16).
+* **backward kernel** (5.9 ms vs XLA's ~6.6 ms standalone):
+  - the [*, 4C]-sized intermediates ``da``/``du`` never touch HBM
+    (on the XLA path ``du`` alone is written once and read twice by
+    the fc1 weight-grad and dx dots);
+  - GELU value + derivative are rebuilt from ``u`` with ONE shared
+    ``exp(-u^2/2)`` (the A&S erf polynomial and the gaussian pdf
+    need the same exponential) while the MXU runs gradient dots;
+  - dW1/dW2/db/dLN accumulate in f32 directly in VMEM output blocks
+    across a sequential batch grid (constant index maps: one HBM
+    write at grid end);
+  - the LayerNorm backward runs inside the same kernel on f32
+    statistics recomputed from the residual-stream input.
+
+Semantics match ``transformer.Block``'s norm2+Mlp residual half:
+pre-LN (f32 stats), exact-erf GELU (the same A&S 7.1.26 polynomial
+the XLA path uses via ``transformer.erf_approx``), per-sample
+stochastic-depth keep multiplier folded into the residual add.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INV_SQRT2 = 0.7071067811865476
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _erf_from_exp(x, ex2):
+    """A&S 7.1.26 erf(x) given a precomputed exp(-x*x)."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * ex2)
+
+
+def _ln_fwd(xf, scale, bias, eps):
+    mu = xf.mean(axis=-1, keepdims=True)
+    xc = xf - mu
+    var = (xc * xc).mean(axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    return xhat, rstd, xhat * scale + bias
+
+
+def _fwd_kernel(x_ref, dp_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref,
+                b2_ref, y_ref, u_ref, *, eps):
+    cdt = w1_ref.dtype
+    xf = x_ref[0].astype(jnp.float32)  # [N, C]
+    _, _, h = _ln_fwd(xf, ls_ref[0], lb_ref[0], eps)
+    h = h.astype(cdt)
+    u = jax.lax.dot_general(
+        h, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[0]  # [N, 4C] f32
+    u_ref[0] = u.astype(u_ref.dtype)
+    ex2 = jnp.exp(-u * u * 0.5)
+    a = (0.5 * u * (1.0 + _erf_from_exp(u * _INV_SQRT2, ex2))).astype(cdt)
+    y = jax.lax.dot_general(
+        a, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b2_ref[0]
+    y_ref[0] = (xf + y * dp_ref[0, 0, 0]).astype(y_ref.dtype)
+
+
+def _bwd_kernel(x_ref, dy_ref, u_ref, dp_ref, ls_ref, lb_ref, w1_ref,
+                w2_ref, dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                dls_ref, dlb_ref, *, eps):
+    b = pl.program_id(0)
+    cdt = w1_ref.dtype
+
+    @pl.when(b == 0)
+    def _():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+        dls_ref[...] = jnp.zeros_like(dls_ref)
+        dlb_ref[...] = jnp.zeros_like(dlb_ref)
+
+    ls = ls_ref[0]
+    xf = x_ref[0].astype(jnp.float32)
+    xhat, rstd, h = _ln_fwd(xf, ls, lb_ref[0], eps)
+    h = h.astype(cdt)
+    # GELU value + derivative from the saved pre-activation; erf and
+    # the gaussian pdf share one exp(-u^2/2)
+    u = u_ref[0].astype(jnp.float32)
+    ex2 = jnp.exp(-u * u * 0.5)
+    erf_t = _erf_from_exp(u * _INV_SQRT2, ex2)
+    half_cdf = 0.5 * (1.0 + erf_t)
+    a = (u * half_cdf).astype(cdt)                   # gelu(u)
+    gp = half_cdf + u * _INV_SQRT_2PI * ex2           # gelu'(u)
+
+    dyf = dy_ref[0].astype(jnp.float32)               # [N, C]
+    dyb = dyf * dp_ref[0, 0, 0]
+    dyb_c = dyb.astype(cdt)
+    dw2_ref[...] += jax.lax.dot_general(
+        a, dyb_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [4C, C]
+    db2_ref[...] += jnp.sum(dyb, axis=0, keepdims=True)
+    da = jax.lax.dot_general(
+        dyb_c, w2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [N, 4C]
+    du = da * gp
+    du_c = du.astype(cdt)
+    dw1_ref[...] += jax.lax.dot_general(
+        h, du_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [C, 4C]
+    db1_ref[...] += jnp.sum(du, axis=0, keepdims=True)
+    dh = jax.lax.dot_general(
+        du_c, w1_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [N, C]
+    dls_ref[...] += jnp.sum(dh * xhat, axis=0, keepdims=True)
+    dlb_ref[...] += jnp.sum(dh, axis=0, keepdims=True)
+    dxh = dh * ls
+    m1 = dxh.mean(axis=-1, keepdims=True)
+    m2 = (dxh * xhat).mean(axis=-1, keepdims=True)
+    dx_ref[0] = (dyf + rstd * (dxh - m1 - xhat * m2)).astype(
+        dx_ref.dtype)
+
+
+def _row(x):
+    return jnp.asarray(x)[None, :]
+
+
+def _const(*idx):
+    return lambda b: idx
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def fused_mlp_block(x, dp, ls, lb, w1, b1, w2, b2, eps=1e-6,
+                    interpret=False):
+    """y = x + dp * fc2(gelu(fc1(LN(x)))) with trainable params.
+
+    x: [B, N, C] (bf16 in production; N a sublane multiple), dp: [B]
+    per-sample stochastic-depth keep multiplier (0 or 1/keep; ones for
+    no drop — treated as non-differentiable), ls/lb: LN scale/bias
+    [C], w1/b1/w2/b2: Dense params. Gradients flow to everything
+    except dp."""
+    y, _ = _fwd(x, dp, ls, lb, w1, b1, w2, b2, eps, interpret)
+    return y
+
+
+def _fwd(x, dp, ls, lb, w1, b1, w2, b2, eps, interpret):
+    B, N, C = x.shape
+    Hd = w1.shape[1]
+    cdt = x.dtype
+    y, u = pl.pallas_call(
+        functools.partial(_fwd_kernel, eps=eps),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Hd), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hd), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hd, C), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, Hd), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, C), x.dtype),
+            jax.ShapeDtypeStruct((B, N, Hd), cdt),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * N * C * Hd,
+            bytes_accessed=(2 * B * N * C + B * N * Hd + 2 * C * Hd)
+            * jnp.dtype(cdt).itemsize,
+            transcendentals=B * N * Hd,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(x, dp.astype(jnp.float32)[:, None, None],
+      _row(ls.astype(jnp.float32)), _row(lb.astype(jnp.float32)),
+      w1.astype(cdt), _row(b1.astype(jnp.float32)),
+      w2.astype(cdt), _row(b2.astype(jnp.float32)))
+    return y, (x, dp, ls, lb, w1, w2, u)
+
+
+def _bwd(eps, interpret, res, dy):
+    x, dp, ls, lb, w1, w2, u = res
+    B, N, C = x.shape
+    Hd = w1.shape[1]
+    cdt = x.dtype
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, eps=eps),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, Hd), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Hd), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hd, C), _const(0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Hd), _const(0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hd), _const(0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hd, C), _const(0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, C), x.dtype),
+            jax.ShapeDtypeStruct((C, Hd), jnp.float32),
+            jax.ShapeDtypeStruct((1, Hd), jnp.float32),
+            jax.ShapeDtypeStruct((Hd, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * N * C * Hd,
+            bytes_accessed=(3 * B * N * C + B * N * Hd + 2 * C * Hd)
+            * jnp.dtype(cdt).itemsize + 8 * C * Hd,
+            transcendentals=B * N * Hd,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(x, dy.astype(x.dtype), u,
+      dp.astype(jnp.float32)[:, None, None],
+      _row(ls.astype(jnp.float32)), _row(lb.astype(jnp.float32)),
+      w1.astype(cdt), w2.astype(cdt))
+    dx, dw1, db1, dw2, db2, dls, dlb = outs
+    return (dx, jnp.zeros_like(dp),
+            dls[0].astype(ls.dtype), dlb[0].astype(lb.dtype),
+            dw1.astype(w1.dtype), db1[0],
+            dw2.astype(w2.dtype), db2[0])
+
+
+fused_mlp_block.defvjp(_fwd, _bwd)

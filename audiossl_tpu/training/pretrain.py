@@ -127,6 +127,50 @@ def ema_update(teacher, student, m):
     return traverse_util.unflatten_dict(out)
 
 
+def fused_adamw_ema(params, grads, opt_state, teacher, lr, wd, m, mask,
+                    cfg: OptimizerConfig):
+    """Adam moments + AdamW param update + EMA teacher update in ONE
+    traversal — numerically identical to scale_by_adam ∘
+    apply_adamw_update ∘ ema_update but expressed per leaf so XLA emits
+    one multi-output elementwise fusion per parameter: one HBM read of
+    (p, g, mu, nu[, t]) and one write of (p', mu', nu'[, t']).  The
+    split pipeline materializes the adam-update tree and re-reads p'
+    for the EMA — ~25% more optimizer HBM traffic, which is what bounds
+    this phase of the step (docs/PROFILE.md: optimizer+EMA ≈ 8 ms,
+    HBM-bound).  opt_state stays an ``optax.ScaleByAdamState`` so ZeRO
+    sharding (parallel/mesh.shard_opt_state_tree) and checkpoints are
+    unchanged.  Replaces the reference's three phases (AdamW.step via
+    Lightning, then the ``on_train_batch_end`` EMA python loop —
+    methods/atst/model.py:49, atst.py:27-34)."""
+    count = optax.safe_int32_increment(opt_state.count)
+    c1 = 1.0 - cfg.b1 ** count
+    c2 = 1.0 - cfg.b2 ** count
+    flat_p = traverse_util.flatten_dict(params)
+    flat_g = traverse_util.flatten_dict(grads)
+    flat_mu = traverse_util.flatten_dict(opt_state.mu)
+    flat_nu = traverse_util.flatten_dict(opt_state.nu)
+    flat_t = traverse_util.flatten_dict(teacher) if teacher is not None \
+        else {}
+    flat_mask = traverse_util.flatten_dict(mask)
+    new_p, new_mu, new_nu, new_t = {}, {}, {}, {}
+    for k, p in flat_p.items():
+        g = flat_g[k]
+        mu = cfg.b1 * flat_mu[k] + (1.0 - cfg.b1) * g
+        nu = cfg.b2 * flat_nu[k] + (1.0 - cfg.b2) * (g * g)
+        u = (mu / c1) / (jnp.sqrt(nu / c2) + cfg.eps)
+        if flat_mask[k]:
+            u = u + wd * p
+        p2 = p - lr * u
+        new_p[k], new_mu[k], new_nu[k] = p2, mu, nu
+        if k in flat_t:
+            new_t[k] = m * flat_t[k] + (1.0 - m) * p2
+    unf = traverse_util.unflatten_dict
+    opt_state = optax.ScaleByAdamState(
+        count=count, mu=unf(new_mu), nu=unf(new_nu))
+    return (unf(new_p), opt_state,
+            unf(new_t) if teacher is not None else None)
+
+
 def copy_into_structure(target_tree, source_tree):
     """Fill every leaf of ``target_tree`` with the same-path leaf of
     ``source_tree`` — the teacher-init rule of the reference (teacher =
@@ -188,7 +232,6 @@ def make_pretrain_step(student: Branch, teacher: Branch,
     lr_s = cfg.lr_schedule()
     wd_s = cfg.wd_schedule()
     ema_s = cfg.ema_schedule()
-    adam = make_adam(cfg)
 
     def step_fn(state: PretrainState, batch):
         rng, step_rng = jax.random.split(state.rng)
@@ -215,11 +258,10 @@ def make_pretrain_step(student: Branch, teacher: Branch,
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
-        adam_updates, opt_state = adam.update(grads, state.opt_state,
-                                              state.params)
         mask = wd_mask(state.params)
-        params = apply_adamw_update(state.params, adam_updates, lr, wd, mask)
-        teacher_params = ema_update(state.teacher_params, params, m)
+        params, opt_state, teacher_params = fused_adamw_ema(
+            state.params, grads, state.opt_state, state.teacher_params,
+            lr, wd, m, mask, cfg)
         new_state = PretrainState(
             step=state.step + 1,
             params=params,

@@ -1,0 +1,156 @@
+"""Capture and summarize a device-op profile of the headline train step.
+
+Runs the same ATST-Frame base production step as bench.py under
+``jax.profiler.trace`` and prints per-op device totals (ms/step),
+aggregated over the steady-state steps — the tool behind
+docs/PROFILE.md's breakdown table.  The reference has no profiling
+story at all (SURVEY.md §5: SimpleProfiler imported but never
+enabled); here it is a first-class maintained script.
+
+Usage:
+    python scripts/profile_step.py [--steps 8] [--batch 96] [--top 40]
+    python scripts/profile_step.py --clip    # ATST-Clip small instead
+"""
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import os
+import re
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_frame_step(B):
+    from audiossl_tpu.methods.atstframe.method import (
+        FramePretrainConfig,
+        FrameMethod,
+    )
+    from audiossl_tpu.training.pretrain import OptimizerConfig
+
+    cfg = FramePretrainConfig(
+        arch="base", anchor_len=10.0, mask_type="block", mask_ratio=0.65,
+        mask_len=5, aug_tea=False, aug_stu=True,
+        optimizer=OptimizerConfig(learning_rate=8e-5, warmup_steps=19900,
+                                  max_steps=398000, ema=0.9996),
+        dtype="bfloat16")
+    method = FrameMethod(cfg)
+    step = jax.jit(method.make_step(), donate_argnums=0)
+    rng = np.random.RandomState(0)
+    wav = jnp.asarray(rng.randn(B, cfg.out_samples).astype(np.float32) * 0.1)
+    valid = jnp.full((B,), cfg.out_samples, jnp.int32)
+    return step, method.init_state(jax.random.PRNGKey(0)), \
+        {"wav": wav, "valid": valid}
+
+
+def build_clip_step(B):
+    from audiossl_tpu.methods.atst.method import (
+        ClipMethod,
+        ClipPretrainConfig,
+    )
+    from audiossl_tpu.training.pretrain import OptimizerConfig
+
+    cfg = ClipPretrainConfig(
+        arch="small", anchor_len=(6.0, 6.0), positive_len=(6.0, 6.0),
+        optimizer=OptimizerConfig(learning_rate=5e-4, warmup_steps=1300,
+                                  max_steps=39100, ema=0.99),
+        dtype="bfloat16")
+    method = ClipMethod(cfg)
+    step = jax.jit(method.make_step(), donate_argnums=0)
+    rng = np.random.RandomState(0)
+    wav = jnp.asarray(rng.randn(B, 160000).astype(np.float32) * 0.1)
+    valid = jnp.full((B,), 160000, jnp.int32)
+    return step, method.init_state(jax.random.PRNGKey(0)), \
+        {"wav": wav, "valid": valid}
+
+
+def device_op_totals(trace_dir, steps):
+    """Aggregate device-plane event durations by op name -> ms/step."""
+    from jax.profiler import ProfileData
+
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                      recursive=True)
+    assert paths, f"no xplane.pb under {trace_dir}"
+    data = ProfileData.from_serialized_xspace(
+        open(sorted(paths)[-1], "rb").read())
+    totals = collections.Counter()
+    for plane in data.planes:
+        name = plane.name
+        if not ("TPU" in name or "/device" in name.lower()):
+            continue
+        if "SparseCore" in name:
+            continue
+        for line in plane.lines:
+            # XLA Ops line carries one event per executed HLO op
+            if line.name not in ("XLA Ops",):
+                continue
+            for ev in line.events:
+                totals[ev.name] += ev.duration_ns
+    return {k: v / 1e6 / steps for k, v in totals.items()}
+
+
+GROUPS = [
+    ("pallas mha fwd", re.compile(r"fused_mha|mha_fwd")),
+    ("pallas mha bwd", re.compile(r"mha_bwd|mha_dkv|mha_dq")),
+    ("pallas whole-block (teacher)", re.compile(r"block_fused|whole_block")),
+    ("pallas mlp fwd", re.compile(r"_fwd_kernel|mlp_fwd|fused_mlp")),
+    ("pallas mlp bwd", re.compile(r"_bwd_kernel|mlp_bwd")),
+    ("pallas mel", re.compile(r"mel|stft", re.I)),
+    ("matmul/conv fusions", re.compile(r"^(dot|conv|%?fusion.*dot)|dot_general")),
+    ("all other fusions", re.compile(r"fusion")),
+    ("copies/transposes", re.compile(r"copy|transpose|bitcast")),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=96)
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--clip", action="store_true")
+    ap.add_argument("--keep", default=None,
+                    help="keep the trace under this directory")
+    args = ap.parse_args()
+
+    build = build_clip_step if args.clip else build_frame_step
+    step, state, batch = build(args.batch)
+    for _ in range(4):          # compile + settle
+        state, metrics = step(state, batch)
+    float(metrics["loss"])
+
+    trace_dir = args.keep or tempfile.mkdtemp(prefix="tpu_profile_")
+    with jax.profiler.trace(trace_dir):
+        for _ in range(args.steps):
+            state, metrics = step(state, batch)
+        float(metrics["loss"])
+
+    totals = device_op_totals(trace_dir, args.steps)
+    total_ms = sum(totals.values())
+    print(f"device total: {total_ms:.2f} ms/step "
+          f"({len(totals)} distinct ops, B={args.batch})")
+
+    grouped = collections.Counter()
+    for name, ms in totals.items():
+        for gname, pat in GROUPS:
+            if pat.search(name):
+                grouped[gname] += ms
+                break
+        else:
+            grouped["ungrouped"] += ms
+    print("\n== groups ==")
+    for gname, ms in grouped.most_common():
+        print(f"{ms:9.3f} ms  {gname}")
+
+    print(f"\n== top {args.top} ops ==")
+    for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:args.top]:
+        print(f"{ms:9.3f} ms  {name[:110]}")
+    if args.keep:
+        print(f"\ntrace kept at {trace_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -179,3 +179,55 @@ def test_encoder_blocks_infer_matches_flax():
     assert len(collected) == 2
     np.testing.assert_allclose(np.asarray(collected[-1][0]),
                                np.asarray(got[0]), atol=1e-6)
+
+
+def test_fused_mlp_block_fwd_bwd_interpret():
+    """Trainable fused MLP sub-block (ops/pallas_mlp.py): value and
+    all gradients vs the XLA reference path (f32, interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiossl_tpu.models.transformer import gelu_exact
+    from audiossl_tpu.ops.pallas_mlp import fused_mlp_block
+
+    B, N, C, H = 3, 32, 128, 256
+    eps = 1e-6
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    dp = jnp.asarray([1.0, 0.0, 1.25], jnp.float32)  # keep multipliers
+    ls = jnp.asarray(1.0 + 0.1 * rng.randn(C).astype(np.float32))
+    lb = jnp.asarray(0.1 * rng.randn(C).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(C, H).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(0.1 * rng.randn(H).astype(np.float32))
+    w2 = jnp.asarray(rng.randn(H, C).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(0.1 * rng.randn(C).astype(np.float32))
+    r = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+
+    def ref(x, ls, lb, w1, b1, w2, b2):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        h = (x - mu) * jax.lax.rsqrt(var + eps) * ls + lb
+        y = gelu_exact(h @ w1 + b1) @ w2 + b2
+        return x + y * dp[:, None, None]
+
+    def got(x, ls, lb, w1, b1, w2, b2):
+        return fused_mlp_block(x, dp, ls, lb, w1, b1, w2, b2, eps, True)
+
+    want = ref(x, ls, lb, w1, b1, w2, b2)
+    out = got(x, ls, lb, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+    loss_ref = lambda *a: jnp.sum(ref(*a) * r)  # noqa: E731
+    loss_got = lambda *a: jnp.sum(got(*a) * r)  # noqa: E731
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(
+        x, ls, lb, w1, b1, w2, b2)
+    g_got = jax.grad(loss_got, argnums=tuple(range(7)))(
+        x, ls, lb, w1, b1, w2, b2)
+    names = ["dx", "dls", "dlb", "dw1", "db1", "dw2", "db2"]
+    for n, a, b in zip(names, g_got, g_ref):
+        scale = max(1.0, float(jnp.abs(b).max()))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4 * scale, rtol=2e-4,
+            err_msg=n)

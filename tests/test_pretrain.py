@@ -124,3 +124,54 @@ def test_schedules_match_reference_arrays():
     f = cosine_schedule(5e-4, 1e-6, 100, 10)
     got = np.array([float(f(i)) for i in range(100)])
     np.testing.assert_allclose(got, arr, rtol=1e-5)
+
+
+def test_fused_adamw_ema_matches_split_pipeline():
+    """fused_adamw_ema (one traversal) must equal the split pipeline
+    scale_by_adam -> apply_adamw_update -> ema_update exactly, over
+    several steps, including the teacher-subset structure rule."""
+    from audiossl_tpu.training.pretrain import (
+        apply_adamw_update,
+        fused_adamw_ema,
+        make_adam,
+    )
+
+    cfg = OptimizerConfig(learning_rate=1e-3)
+    rng = np.random.RandomState(1)
+
+    def leaf(*shape):
+        return jnp.asarray(rng.randn(*shape).astype(np.float32))
+
+    params = {"enc": {"kernel": leaf(8, 8), "bias": leaf(8)},
+              "head": {"kernel": leaf(8, 4), "bias": leaf(4)},
+              "predictor": {"kernel": leaf(4, 4)}}
+    teacher = {"enc": {"kernel": leaf(8, 8), "bias": leaf(8)},
+               "head": {"kernel": leaf(8, 4), "bias": leaf(4)}}
+    mask = wd_mask(params)
+    adam = make_adam(cfg)
+
+    opt_a = adam.init(params)
+    opt_b = adam.init(params)
+    p_a, p_b = params, params
+    t_a, t_b = teacher, teacher
+    lr, wd, m = 1e-3, 0.05, 0.9
+    for step in range(3):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(
+                rng.randn(*p.shape).astype(np.float32)), p_a)
+        upd, opt_a = adam.update(grads, opt_a, p_a)
+        p_a = apply_adamw_update(p_a, upd, lr, wd, mask)
+        t_a = ema_update(t_a, p_a, m)
+        p_b, opt_b, t_b = fused_adamw_ema(
+            p_b, grads, opt_b, t_b, lr, wd, m, mask, cfg)
+    assert int(opt_b.count) == 3
+    for name, a, b in (("params", p_a, p_b), ("teacher", t_a, t_b),
+                       ("mu", opt_a.mu, opt_b.mu),
+                       ("nu", opt_a.nu, opt_b.nu)):
+        flat_a = jax.tree_util.tree_leaves(a)
+        flat_b = jax.tree_util.tree_leaves(b)
+        assert len(flat_a) == len(flat_b)
+        for x, y in zip(flat_a, flat_b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=1e-7, err_msg=name)
+    assert "predictor" not in t_b
