@@ -202,29 +202,52 @@ def event_based_f1(detections: pd.DataFrame, ground_truth: pd.DataFrame,
     """sed_eval-style event-based macro F1 with onset/offset collars
     (reference log_sedeval_metrics usage, gpu_decode.py:313-401)."""
     classes = sorted(ground_truth.event_label.dropna().unique())
-    f1s = []
-    for cls in classes:
-        tp = 0
-        d_all = detections[detections.event_label == cls]
-        g_all = ground_truth[ground_truth.event_label == cls]
-        for fname in set(g_all.filename) | set(d_all.filename):
-            d = d_all[d_all.filename == fname].reset_index()
-            g = g_all[g_all.filename == fname].reset_index()
-            used = np.zeros(len(d), bool)
-            for _, ge in g.iterrows():
-                dur = ge.offset - ge.onset
-                off_collar = max(t_collar, percentage_of_length * dur)
-                for di in range(len(d)):
-                    if used[di]:
-                        continue
-                    de = d.iloc[di]
-                    if (abs(de.onset - ge.onset) <= t_collar and
-                            abs(de.offset - ge.offset) <= off_collar):
-                        used[di] = True
-                        tp += 1
-                        break
-        fp = len(d_all) - tp
-        fn = len(g_all) - tp
-        denom = tp + 0.5 * (fp + fn)
-        f1s.append(tp / denom if denom > 0 else 0.0)
-    return float(np.mean(f1s)) if f1s else 0.0
+    cidx = {c: i for i, c in enumerate(classes)}
+    tp = np.zeros(len(classes))
+    n_det = np.zeros(len(classes))
+    n_gt = np.zeros(len(classes))
+    for c, n in detections.event_label.value_counts().items():
+        if c in cidx:
+            n_det[cidx[c]] = n
+    for c, n in ground_truth.event_label.value_counts().items():
+        n_gt[cidx[c]] = n
+
+    # group by (class, file) once; per group do the sed_eval greedy match
+    # on numpy arrays (eligibility matrix + first-unused-hit scan) instead
+    # of the former O(G*D) pandas iterrows/iloc loops.
+    def _groups(df):
+        out = {}
+        for (c, f), sub in df.groupby(["event_label", "filename"],
+                                      sort=False):
+            out[(c, f)] = (sub.onset.to_numpy(float),
+                           sub.offset.to_numpy(float))
+        return out
+
+    dg = _groups(detections)
+    gg = _groups(ground_truth)
+    for key, (g_on, g_off) in gg.items():
+        cls = key[0]
+        if cls not in cidx or key not in dg:
+            continue
+        d_on, d_off = dg[key]
+        off_collar = np.maximum(t_collar,
+                                percentage_of_length * (g_off - g_on))
+        # elig[i, j]: detection j within collars of ground truth i
+        elig = ((np.abs(d_on[None, :] - g_on[:, None]) <= t_collar) &
+                (np.abs(d_off[None, :] - g_off[:, None])
+                 <= off_collar[:, None]))
+        used = np.zeros(len(d_on), bool)
+        hits = 0
+        for i in range(len(g_on)):  # greedy: first unused eligible det
+            cand = elig[i] & ~used
+            j = int(np.argmax(cand))
+            if cand[j]:
+                used[j] = True
+                hits += 1
+        tp[cidx[cls]] += hits
+
+    fp = n_det - tp
+    fn = n_gt - tp
+    denom = tp + 0.5 * (fp + fn)
+    f1s = np.where(denom > 0, tp / np.maximum(denom, 1e-12), 0.0)
+    return float(np.mean(f1s)) if len(classes) else 0.0

@@ -93,16 +93,26 @@ def device_op_totals(trace_dir, steps):
     return {k: v / 1e6 / steps for k, v in totals.items()}
 
 
+def op_kind(name):
+    """The op's own identity: '%copy.5 = f32[...] copy(...)' -> 'copy'."""
+    lhs, _, rhs = name.partition(" = ")
+    m = re.match(r"%?([a-zA-Z][\w.\-]*)", lhs.strip())
+    base = m.group(1) if m else lhs
+    base = re.sub(r"[.\d]+$", "", base)
+    opm = re.search(r"\]\s*(?:\{[^}]*\}\s*)?([a-z][\w\-]*)\(", rhs)
+    hlo = opm.group(1) if opm else ""
+    if hlo == "fusion":
+        return base if base != "fusion" else "fusion"
+    return hlo or base
+
+
 GROUPS = [
-    ("pallas mha fwd", re.compile(r"fused_mha|mha_fwd")),
-    ("pallas mha bwd", re.compile(r"mha_bwd|mha_dkv|mha_dq")),
-    ("pallas whole-block (teacher)", re.compile(r"block_fused|whole_block")),
-    ("pallas mlp fwd", re.compile(r"_fwd_kernel|mlp_fwd|fused_mlp")),
-    ("pallas mlp bwd", re.compile(r"_bwd_kernel|mlp_bwd")),
-    ("pallas mel", re.compile(r"mel|stft", re.I)),
-    ("matmul/conv fusions", re.compile(r"^(dot|conv|%?fusion.*dot)|dot_general")),
-    ("all other fusions", re.compile(r"fusion")),
-    ("copies/transposes", re.compile(r"copy|transpose|bitcast")),
+    # matched against the op's own kind (op_kind), not operand text
+    ("pallas custom-calls", re.compile(r"custom-call|run_blocks|tpu_custom")),
+    ("copies/transposes", re.compile(r"^(copy|transpose|bitcast|reshape|pad)")),
+    ("convolutions", re.compile(r"^conv")),
+    ("plain dots", re.compile(r"^dot")),
+    ("fusions", re.compile(r"fusion")),
 ]
 
 
@@ -114,6 +124,8 @@ def main():
     ap.add_argument("--clip", action="store_true")
     ap.add_argument("--keep", default=None,
                     help="keep the trace under this directory")
+    ap.add_argument("--filter", default=None,
+                    help="only show top ops whose name matches this regex")
     args = ap.parse_args()
 
     build = build_clip_step if args.clip else build_frame_step
@@ -135,19 +147,26 @@ def main():
 
     grouped = collections.Counter()
     for name, ms in totals.items():
+        kind = op_kind(name)
         for gname, pat in GROUPS:
-            if pat.search(name):
+            if pat.search(kind) or ("custom-call" in name.split(" = ")[-1][:60]
+                                    and gname == "pallas custom-calls"):
                 grouped[gname] += ms
                 break
         else:
-            grouped["ungrouped"] += ms
+            grouped[f"op:{kind}"] += ms
     print("\n== groups ==")
     for gname, ms in grouped.most_common():
         print(f"{ms:9.3f} ms  {gname}")
 
     print(f"\n== top {args.top} ops ==")
-    for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:args.top]:
-        print(f"{ms:9.3f} ms  {name[:110]}")
+    items = sorted(totals.items(), key=lambda kv: -kv[1])
+    if args.filter:
+        pat = re.compile(args.filter)
+        items = [kv for kv in items if pat.search(kv[0])]
+        print(f"(filtered: {sum(ms for _, ms in items):.2f} ms total)")
+    for name, ms in items[:args.top]:
+        print(f"{ms:9.3f} ms  {name[:160]}")
     if args.keep:
         print(f"\ntrace kept at {trace_dir}")
 

@@ -191,11 +191,11 @@ def test_fused_mlp_block_fwd_bwd_interpret():
     from audiossl_tpu.models.transformer import gelu_exact
     from audiossl_tpu.ops.pallas_mlp import fused_mlp_block
 
-    B, N, C, H = 3, 32, 128, 256
+    B, N, C, H = 4, 32, 128, 256
     eps = 1e-6
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
-    dp = jnp.asarray([1.0, 0.0, 1.25], jnp.float32)  # keep multipliers
+    dp = jnp.asarray([1.0, 0.0, 1.25, 0.8], jnp.float32)  # keep multipliers
     ls = jnp.asarray(1.0 + 0.1 * rng.randn(C).astype(np.float32))
     lb = jnp.asarray(0.1 * rng.randn(C).astype(np.float32))
     w1 = jnp.asarray(rng.randn(C, H).astype(np.float32) * 0.05)

@@ -98,3 +98,61 @@ def test_event_f1_collar():
     assert event_based_f1(det, GT) == pytest.approx(1.0)
     det_bad = _df([("a.wav", 1.5, 3.0, "Cat")])
     assert event_based_f1(det_bad, GT) < 1.0
+
+
+def _naive_event_f1(detections, ground_truth, t_collar=0.2,
+                    percentage_of_length=0.2):
+    """Direct transliteration of the sed_eval greedy collar matching
+    (the pre-vectorization loop), kept as the equivalence oracle."""
+    classes = sorted(ground_truth.event_label.dropna().unique())
+    f1s = []
+    for cls in classes:
+        tp = 0
+        d_all = detections[detections.event_label == cls]
+        g_all = ground_truth[ground_truth.event_label == cls]
+        for fname in set(g_all.filename) | set(d_all.filename):
+            d = d_all[d_all.filename == fname].reset_index()
+            g = g_all[g_all.filename == fname].reset_index()
+            used = np.zeros(len(d), bool)
+            for _, ge in g.iterrows():
+                dur = ge.offset - ge.onset
+                off_collar = max(t_collar, percentage_of_length * dur)
+                for di in range(len(d)):
+                    if used[di]:
+                        continue
+                    de = d.iloc[di]
+                    if (abs(de.onset - ge.onset) <= t_collar and
+                            abs(de.offset - ge.offset) <= off_collar):
+                        used[di] = True
+                        tp += 1
+                        break
+        fp = len(d_all) - tp
+        fn = len(g_all) - tp
+        denom = tp + 0.5 * (fp + fn)
+        f1s.append(tp / denom if denom > 0 else 0.0)
+    return float(np.mean(f1s)) if f1s else 0.0
+
+
+def test_event_f1_matches_naive_randomized():
+    """Vectorized event_based_f1 == the original greedy loop on random
+    multi-class, multi-file scenarios (incl. overlapping/duplicate
+    events that exercise the first-unused-detection tie-break)."""
+    rng = np.random.RandomState(7)
+    labels = [f"c{i}" for i in range(6)]
+    files = [f"f{i}.wav" for i in range(8)]
+    for trial in range(10):
+        def rand_events(n):
+            onset = rng.uniform(0, 90, n)
+            dur = rng.uniform(0.2, 8.0, n)
+            return _df(list(zip(
+                rng.choice(files, n), onset, onset + dur,
+                rng.choice(labels, n))))
+        gt = rand_events(40)
+        # detections: jittered copies of half the GT + random clutter
+        base = gt.sample(n=20, random_state=trial).copy()
+        base.onset += rng.uniform(-0.3, 0.3, len(base))
+        base.offset += rng.uniform(-0.5, 0.5, len(base))
+        det = pd.concat([base, rand_events(25)], ignore_index=True)
+        got = event_based_f1(det, gt)
+        want = _naive_event_f1(det, gt)
+        assert got == pytest.approx(want, abs=1e-12), (trial, got, want)
