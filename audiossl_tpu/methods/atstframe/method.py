@@ -69,6 +69,10 @@ class FramePretrainConfig:
     dtype: str = "float32"
     # fused Pallas MHA (ops/pallas_mha.py); only active on TPU backends
     fused_attention: bool = True
+    # "int8": quantized no-grad TEACHER matmuls (2x MXU peak) — OPT-IN
+    # recipe change past the bf16 roofline (docs/PROFILE.md); the
+    # default keeps bf16 teacher parity with the reference
+    teacher_quant: str = "none"
 
     @property
     def out_frames(self) -> int:
@@ -145,7 +149,8 @@ class FrameMethod:
         # the teacher is never differentiated -> whole-block fused
         # inference kernels (its in-kernel stochastic depth preserves
         # the reference's train-mode teacher)
-        tea_kw = dict(enc_kw, fused_infer=cfg.fused_attention)
+        tea_kw = dict(enc_kw, fused_infer=cfg.fused_attention,
+                      infer_quant=cfg.teacher_quant)
         if cfg.avg_blocks == 0:  # ATST-Frame
             self.student = Branch(encoder=enc_fn(**enc_kw), projector="mlp",
                                   predictor=True, hidden_dim=hd, out_dim=od)

@@ -96,6 +96,10 @@ class AudioTransformer(nn.Module):
     # teacher, embedding extractors); stochastic depth is applied
     # in-kernel so train-mode teacher semantics are preserved
     fused_infer: bool = False
+    # "int8": run the no-grad block-kernel weight matmuls on the int8
+    # MXU path (2x bf16 peak) — an OPT-IN numerics change (~1e-2 rel
+    # per block); default keeps bf16 reference parity
+    infer_quant: str = "none"
 
     @property
     def max_patches(self):
@@ -229,7 +233,9 @@ class AudioTransformer(nn.Module):
                 self.depth, eps=self.eps, collect_from=collect_from,
                 drop_path_rate=(0.0 if deterministic
                                 else self.drop_path_rate),
-                rng=dp_rng)
+                rng=dp_rng,
+                quant=(None if self.infer_quant == "none"
+                       else self.infer_quant))
         pad = (-N0) % 128 if self.fused_attention else 0
         if pad:
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))

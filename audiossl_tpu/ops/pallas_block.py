@@ -57,19 +57,39 @@ def _ln(xf, scale, bias, eps):
     return (xf - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def _attn_kernel(x_ref, v_ref, dp_ref, lns_ref, lnb_ref, wqkv_ref,
-                 bqkv_ref, wproj_ref, bproj_ref, o_ref, *, H, scale,
-                 eps):
-    C = x_ref.shape[2]
+def _q8_act(h):
+    """Per-row symmetric int8 quantization of an f32 activation block:
+    h [M, K] -> (int8 values, f32 [M, 1] scales)."""
+    r = jnp.max(jnp.abs(h), axis=-1, keepdims=True) * (1.0 / 127.0)
+    r = jnp.maximum(r, 1e-30)
+    q = jnp.clip(jnp.round(h / r), -127.0, 127.0).astype(jnp.int8)
+    return q, r
+
+
+def _q8_dot(h, wq_ref, ws_ref):
+    """f32 [M, K] x per-channel-quantized weight -> f32 [M, J] on the
+    int8 MXU path (2x bf16 peak on v5e): dynamic per-row activation
+    scales x static per-output-channel weight scales."""
+    q, r = _q8_act(h)
+    acc = jax.lax.dot_general(
+        q, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * r * ws_ref[0]
+
+
+def _attn_core(xf, vrow, dot_qkv, dot_proj, dp, lns, lnb, cdt,
+               *, H, scale, eps):
+    """Shared attention-block body: LN1 -> qkv (via ``dot_qkv``) ->
+    exp-only masked softmax attention -> out-projection (``dot_proj``)
+    -> stochastic-depth residual. The dot closures take the f32 LN/attn
+    output rows and return f32 rows (bias included), so the float and
+    int8-quantized kernels share every subtlety of the masking and
+    zero-valid-key paths."""
+    C = xf.shape[1]
     d = C // H
-    cdt = wqkv_ref.dtype  # compute dtype follows the weights
-    xf = x_ref[0].astype(jnp.float32)  # [N, C]
-    h = _ln(xf, lns_ref[0], lnb_ref[0], eps).astype(cdt)
-    qkv = (jax.lax.dot_general(
-        h, wqkv_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-        + bqkv_ref[0]).astype(cdt)  # [N, 3C]
-    vrow = v_ref[0, 0].astype(jnp.float32)[:, None]  # [N, 1]
+    vrow = vrow[:, None]  # [N, 1]
+    h = _ln(xf, lns, lnb, eps)
+    qkv = dot_qkv(h).astype(cdt)  # [N, 3C]
     has_valid = jnp.sum(vrow) > 0.5  # per-sequence scalar
     outs = []
     for g in range(H):
@@ -96,53 +116,136 @@ def _attn_kernel(x_ref, v_ref, dp_ref, lns_ref, lnb_ref, wqkv_ref,
         o_valid = o2[:, :d] * (1.0 / (den_v + 1e-30))
         o_all = o2[:, d + 1:2 * d + 1] * (1.0 / o2[:, 2 * d + 1:])
         outs.append(jnp.where(has_valid, o_valid, o_all))
-    o = jnp.concatenate(outs, axis=1).astype(cdt)  # [N, C]
-    y = jax.lax.dot_general(
-        o, wproj_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + bproj_ref[0]
+    o = jnp.concatenate(outs, axis=1).astype(jnp.float32)  # [N, C]
+    y = dot_proj(o)
     # stochastic-depth keep multiplier (0 or 1/keep_rate per sample)
-    o_ref[0] = (xf + y * dp_ref[0, 0, 0]).astype(o_ref.dtype)
+    return xf + y * dp
+
+
+def _attn_kernel(x_ref, v_ref, dp_ref, lns_ref, lnb_ref, wqkv_ref,
+                 bqkv_ref, wproj_ref, bproj_ref, o_ref, *, H, scale,
+                 eps):
+    cdt = wqkv_ref.dtype  # compute dtype follows the weights
+
+    def dot_qkv(h):
+        return jax.lax.dot_general(
+            h.astype(cdt), wqkv_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bqkv_ref[0]
+
+    def dot_proj(o):
+        return jax.lax.dot_general(
+            o.astype(cdt), wproj_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bproj_ref[0]
+
+    o_ref[0] = _attn_core(
+        x_ref[0].astype(jnp.float32), v_ref[0, 0].astype(jnp.float32),
+        dot_qkv, dot_proj, dp_ref[0, 0, 0], lns_ref[0], lnb_ref[0],
+        cdt, H=H, scale=scale, eps=eps).astype(o_ref.dtype)
+
+
+def _attn_kernel_q8(x_ref, v_ref, dp_ref, lns_ref, lnb_ref, wqkv_ref,
+                    sqkv_ref, bqkv_ref, wproj_ref, sproj_ref,
+                    bproj_ref, o_ref, *, H, scale, eps):
+    o_ref[0] = _attn_core(
+        x_ref[0].astype(jnp.float32), v_ref[0, 0].astype(jnp.float32),
+        lambda h: _q8_dot(h, wqkv_ref, sqkv_ref) + bqkv_ref[0],
+        lambda o: _q8_dot(o, wproj_ref, sproj_ref) + bproj_ref[0],
+        dp_ref[0, 0, 0], lns_ref[0], lnb_ref[0], jnp.bfloat16,
+        H=H, scale=scale, eps=eps).astype(o_ref.dtype)
+
+
+def _mlp_core(xf, dot1, dot2, dp, lns, lnb, *, eps):
+    h = _ln(xf, lns, lnb, eps)
+    a = dot1(h)
+    # exact GELU: 0.5 x (1 + erf(x/sqrt(2)))
+    a = 0.5 * a * (1.0 + _erf(a * 0.7071067811865476))
+    return xf + dot2(a) * dp
 
 
 def _mlp_kernel(x_ref, dp_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
                 w2_ref, b2_ref, o_ref, *, eps):
     cdt = w1_ref.dtype
-    xf = x_ref[0].astype(jnp.float32)
-    h = _ln(xf, lns_ref[0], lnb_ref[0], eps).astype(cdt)
-    a = jax.lax.dot_general(
-        h, w1_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + b1_ref[0]
-    # exact GELU: 0.5 x (1 + erf(x/sqrt(2)))
-    a = (0.5 * a * (1.0 + _erf(a * 0.7071067811865476))).astype(cdt)
-    y = jax.lax.dot_general(
-        a, w2_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + b2_ref[0]
-    o_ref[0] = (xf + y * dp_ref[0, 0, 0]).astype(o_ref.dtype)
+
+    def dot1(h):
+        return jax.lax.dot_general(
+            h.astype(cdt), w1_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b1_ref[0]
+
+    def dot2(a):
+        return jax.lax.dot_general(
+            a.astype(cdt), w2_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b2_ref[0]
+
+    o_ref[0] = _mlp_core(
+        x_ref[0].astype(jnp.float32), dot1, dot2, dp_ref[0, 0, 0],
+        lns_ref[0], lnb_ref[0], eps=eps).astype(o_ref.dtype)
+
+
+def _mlp_kernel_q8(x_ref, dp_ref, lns_ref, lnb_ref, w1_ref, s1_ref,
+                   b1_ref, w2_ref, s2_ref, b2_ref, o_ref, *, eps):
+    o_ref[0] = _mlp_core(
+        x_ref[0].astype(jnp.float32),
+        lambda h: _q8_dot(h, w1_ref, s1_ref) + b1_ref[0],
+        lambda a: _q8_dot(a, w2_ref, s2_ref) + b2_ref[0],
+        dp_ref[0, 0, 0], lns_ref[0], lnb_ref[0], eps=eps
+    ).astype(o_ref.dtype)
 
 
 def _row(x):
     return jnp.asarray(x)[None, :]
 
 
+def quantize_weight_q8(w):
+    """Per-output-channel symmetric int8 weight quantization (XLA
+    level, once per step — the EMA teacher's weights change every
+    step): w [K, J] -> (int8 [K, J], f32 [1, J] scales)."""
+    wf = jnp.asarray(w, jnp.float32)
+    s = jnp.max(jnp.abs(wf), axis=0, keepdims=True) * (1.0 / 127.0)
+    s = jnp.maximum(s, 1e-30)
+    q = jnp.clip(jnp.round(wf / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
+
+
+def _wspec(shape, const):
+    return pl.BlockSpec(shape, const(*((0,) * len(shape))),
+                        memory_space=pltpu.VMEM)
+
+
 def attn_block_infer(x, valid, p, num_heads, eps=1e-6, dp=None,
-                     interpret=False):
+                     quant=None, interpret=False):
     """x: [B, N, C] (N a 128-multiple), valid: [B, N] 0/1 key mask,
     p: Block param subtree {norm1, attn:{qkv, proj}}; dp: optional
-    per-sample stochastic-depth keep multiplier [B] (0 or 1/keep)."""
+    per-sample stochastic-depth keep multiplier [B] (0 or 1/keep);
+    quant="int8" runs the qkv/proj weight matmuls on the int8 MXU path
+    (per-channel weight + per-row activation scales — an opt-in
+    numerics change, see encoder_blocks_infer)."""
     B, N, C = x.shape
     dp = jnp.ones((B,), jnp.float32) if dp is None else dp
     d = C // num_heads
     cdt = x.dtype  # bf16 production models; f32 kept exact for tests
-    wqkv = p["attn"]["qkv"]["kernel"].astype(cdt)
     bqkv = p["attn"]["qkv"].get("bias")
     bqkv = (jnp.zeros((3 * C,), jnp.float32) if bqkv is None
             else bqkv.astype(jnp.float32))
-    wproj = p["attn"]["proj"]["kernel"].astype(cdt)
     bproj = p["attn"]["proj"]["bias"].astype(jnp.float32)
     const = lambda *idx: (lambda b: idx)  # noqa: E731
+    if quant == "int8":
+        wqkv, sqkv = quantize_weight_q8(p["attn"]["qkv"]["kernel"])
+        wproj, sproj = quantize_weight_q8(p["attn"]["proj"]["kernel"])
+        kernel = functools.partial(_attn_kernel_q8, H=num_heads,
+                                   scale=d ** -0.5, eps=eps)
+        w_ops = [wqkv, sqkv, _row(bqkv), wproj, sproj, _row(bproj)]
+        w_specs = [_wspec((C, 3 * C), const), _wspec((1, 3 * C), const),
+                   _wspec((1, 3 * C), const), _wspec((C, C), const),
+                   _wspec((1, C), const), _wspec((1, C), const)]
+    else:
+        kernel = functools.partial(_attn_kernel, H=num_heads,
+                                   scale=d ** -0.5, eps=eps)
+        w_ops = [p["attn"]["qkv"]["kernel"].astype(cdt), _row(bqkv),
+                 p["attn"]["proj"]["kernel"].astype(cdt), _row(bproj)]
+        w_specs = [_wspec((C, 3 * C), const), _wspec((1, 3 * C), const),
+                   _wspec((C, C), const), _wspec((1, C), const)]
     return pl.pallas_call(
-        functools.partial(_attn_kernel, H=num_heads, scale=d ** -0.5,
-                          eps=eps),
+        kernel,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
@@ -153,13 +256,7 @@ def attn_block_infer(x, valid, p, num_heads, eps=1e-6, dp=None,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), const(0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), const(0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, 3 * C), const(0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * C), const(0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, C), const(0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), const(0, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + w_specs,
         out_specs=pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
@@ -176,23 +273,37 @@ def attn_block_infer(x, valid, p, num_heads, eps=1e-6, dp=None,
       dp.astype(jnp.float32)[:, None, None],
       _row(p["norm1"]["scale"].astype(jnp.float32)),
       _row(p["norm1"]["bias"].astype(jnp.float32)),
-      wqkv, _row(bqkv), wproj, _row(bproj))
+      *w_ops)
 
 
-def mlp_block_infer(x, p, eps=1e-6, dp=None, interpret=False):
+def mlp_block_infer(x, p, eps=1e-6, dp=None, quant=None,
+                    interpret=False):
     """x: [B, N, C]; p: Block param subtree {norm2, mlp:{fc1, fc2}};
-    dp: optional per-sample stochastic-depth keep multiplier [B]."""
+    dp: optional per-sample stochastic-depth keep multiplier [B];
+    quant="int8" as in attn_block_infer."""
     B, N, C = x.shape
     dp = jnp.ones((B,), jnp.float32) if dp is None else dp
     cdt = x.dtype
-    w1 = p["mlp"]["fc1"]["kernel"].astype(cdt)
     b1 = p["mlp"]["fc1"]["bias"].astype(jnp.float32)
-    w2 = p["mlp"]["fc2"]["kernel"].astype(cdt)
     b2 = p["mlp"]["fc2"]["bias"].astype(jnp.float32)
-    Hd = w1.shape[1]
+    Hd = p["mlp"]["fc1"]["kernel"].shape[1]
     const = lambda *idx: (lambda b: idx)  # noqa: E731
+    if quant == "int8":
+        w1, s1 = quantize_weight_q8(p["mlp"]["fc1"]["kernel"])
+        w2, s2 = quantize_weight_q8(p["mlp"]["fc2"]["kernel"])
+        kernel = functools.partial(_mlp_kernel_q8, eps=eps)
+        w_ops = [w1, s1, _row(b1), w2, s2, _row(b2)]
+        w_specs = [_wspec((C, Hd), const), _wspec((1, Hd), const),
+                   _wspec((1, Hd), const), _wspec((Hd, C), const),
+                   _wspec((1, C), const), _wspec((1, C), const)]
+    else:
+        kernel = functools.partial(_mlp_kernel, eps=eps)
+        w_ops = [p["mlp"]["fc1"]["kernel"].astype(cdt), _row(b1),
+                 p["mlp"]["fc2"]["kernel"].astype(cdt), _row(b2)]
+        w_specs = [_wspec((C, Hd), const), _wspec((1, Hd), const),
+                   _wspec((Hd, C), const), _wspec((1, C), const)]
     return pl.pallas_call(
-        functools.partial(_mlp_kernel, eps=eps),
+        kernel,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
@@ -201,11 +312,7 @@ def mlp_block_infer(x, p, eps=1e-6, dp=None, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), const(0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), const(0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, Hd), const(0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hd), const(0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Hd, C), const(0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), const(0, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + w_specs,
         out_specs=pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
@@ -220,12 +327,12 @@ def mlp_block_infer(x, p, eps=1e-6, dp=None, interpret=False):
     )(x, dp.astype(jnp.float32)[:, None, None],
       _row(p["norm2"]["scale"].astype(jnp.float32)),
       _row(p["norm2"]["bias"].astype(jnp.float32)),
-      w1, _row(b1), w2, _row(b2))
+      *w_ops)
 
 
 def encoder_blocks_infer(params, x, lengths, num_heads, depth,
                          eps=1e-6, collect_from=None,
-                         drop_path_rate=0.0, rng=None,
+                         drop_path_rate=0.0, rng=None, quant=None,
                          interpret=False):
     """Inference pass over all blocks with per-encoder-pass padding
     (models/atst.run_blocks semantics).
@@ -236,6 +343,14 @@ def encoder_blocks_infer(params, x, lengths, num_heads, depth,
     depth (linearly ramped over depth, independent per sample and
     residual branch — transformer.drop_path) via per-sample keep
     multipliers; the pass stays a no-grad forward either way.
+    quant="int8" routes the four weight matmuls of every block through
+    the int8 MXU path (2x bf16 peak on v5e): per-output-channel weight
+    scales (re-quantized from the f32 masters each call — the EMA
+    teacher changes every step) x dynamic per-row activation scales
+    computed in-kernel. This CHANGES NUMERICS (~1e-2 relative per
+    block output) and is strictly opt-in — the default recipe keeps
+    bf16 parity with the reference; see docs/PROFILE.md "roofline
+    ceiling".
     Returns (x, collected) like run_blocks."""
     B, N0, C = x.shape
     pad = (-N0) % 128
@@ -258,10 +373,10 @@ def encoder_blocks_infer(params, x, lengths, num_heads, depth,
         p = params[f"blocks_{i}"]
         x = attn_block_infer(x, valid, p, num_heads, eps=eps,
                              dp=None if dps is None else dps[i, 0],
-                             interpret=interpret)
+                             quant=quant, interpret=interpret)
         x = mlp_block_infer(x, p, eps=eps,
                             dp=None if dps is None else dps[i, 1],
-                            interpret=interpret)
+                            quant=quant, interpret=interpret)
         if collect_from is not None and i >= collect_from:
             collected.append(x[:, :N0] if pad else x)
     if pad:

@@ -107,6 +107,10 @@ def main():
         optimizer=OptimizerConfig(learning_rate=8e-5, warmup_steps=19900,
                                   max_steps=398000, ema=0.9996),
         dtype="bfloat16",
+        # --int8-teacher: opt-in quantized teacher matmuls (a recipe
+        # change — NOT the headline configuration; see docs/PROFILE.md)
+        teacher_quant=("int8" if "--int8-teacher" in sys.argv[1:]
+                       else "none"),
     )
     method = FrameMethod(cfg)
     step = jax.jit(method.make_step(), donate_argnums=0)
@@ -122,8 +126,11 @@ def main():
     # best-of-3 windows — the measurement shares a tunneled device and
     # occasionally sees multi-second external stalls
     clips_per_sec = _measure(step, state, batch, B)
+    metric = "atst_frame_base_pretrain_clips_per_sec_per_chip"
+    if cfg.teacher_quant != "none":
+        metric += "_int8_teacher"
     print(json.dumps({
-        "metric": "atst_frame_base_pretrain_clips_per_sec_per_chip",
+        "metric": metric,
         "value": round(clips_per_sec, 2),
         "unit": "clips/s/chip",
         "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 3),

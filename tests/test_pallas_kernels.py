@@ -231,3 +231,58 @@ def test_fused_mlp_block_fwd_bwd_interpret():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=3e-4 * scale, rtol=2e-4,
             err_msg=n)
+
+
+def test_q8_quantization_math():
+    """quantize_weight_q8 round-trip error bound: |w - q*s| <= s/2
+    per output channel (symmetric per-channel int8)."""
+    from audiossl_tpu.ops.pallas_block import quantize_weight_q8
+
+    rng = np.random.RandomState(3)
+    w = jnp.asarray(rng.randn(64, 128).astype(np.float32))
+    q, s = quantize_weight_q8(w)
+    assert q.dtype == jnp.int8
+    deq = q.astype(jnp.float32) * s
+    err = np.abs(np.asarray(deq - w))
+    assert (err <= np.asarray(s)[0] / 2 + 1e-7).all()
+    # channel max maps to +-127 exactly
+    amax = np.abs(np.asarray(w)).max(axis=0)
+    hit = np.abs(np.asarray(q)).max(axis=0)
+    np.testing.assert_array_equal(hit, 127)
+    np.testing.assert_allclose(np.asarray(s)[0], amax / 127.0,
+                               rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_encoder_blocks_infer_int8_close_to_float():
+    """quant="int8" (interpret mode) tracks the float block kernels
+    within per-channel-int8 error bounds on realistic-scale inputs;
+    masking/zero-valid-key semantics are shared code, so only the dot
+    precision differs."""
+    from audiossl_tpu.models.atst import AudioTransformer
+    from audiossl_tpu.ops.pallas_block import encoder_blocks_infer
+
+    enc = AudioTransformer(embed_dim=64, depth=2, num_heads=2,
+                           spec_h=64, spec_w=40, use_cls=False,
+                           drop_path_rate=0.0)
+    rng = np.random.RandomState(1)
+    mel = jnp.asarray(rng.randn(2, 64, 40).astype(np.float32))
+    lengths = jnp.asarray([40, 24])
+    params = enc.init(jax.random.PRNGKey(0), mel, length=lengths,
+                      deterministic=True)["params"]
+    x = jnp.asarray(rng.randn(2, 10, 64).astype(np.float32))
+    tok_len = jnp.asarray([10, 6])
+    want, _ = encoder_blocks_infer(
+        params, x, tok_len, enc.num_heads, enc.depth, eps=enc.eps,
+        interpret=True)
+    got, _ = encoder_blocks_infer(
+        params, x, tok_len, enc.num_heads, enc.depth, eps=enc.eps,
+        quant="int8", interpret=True)
+    w = np.asarray(want[0]); g = np.asarray(got[0])
+    rel = np.abs(g - w) / (np.abs(w).mean() + 1e-9)
+    assert rel.max() < 0.15 and rel.mean() < 0.02, (rel.max(),
+                                                    rel.mean())
+    # valid-token rows of the short sequence too
+    w1 = np.asarray(want[1, :6]); g1 = np.asarray(got[1, :6])
+    rel1 = np.abs(g1 - w1) / (np.abs(w1).mean() + 1e-9)
+    assert rel1.mean() < 0.02
