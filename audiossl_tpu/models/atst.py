@@ -250,11 +250,13 @@ class AudioTransformer(nn.Module):
         # weight-grad accumulation (ops/pallas_mlp.py); the attention
         # half keeps the flax route (which already uses the fused MHA
         # kernel)
+        import os
         use_mlp_fused = (
             self.fused_attention and not deterministic and not self.remat
             and self.drop_rate == 0.0 and self.attn_drop_rate == 0.0
             and jnp.dtype(self.dtype) == jnp.bfloat16
             and jax.default_backend() == "tpu"
+            and os.environ.get("AUDIOSSL_FUSED_MLP", "1") != "0"
             and not self.is_initializing())
         collected = []
         for i, blk in enumerate(self.blocks):

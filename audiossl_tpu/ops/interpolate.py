@@ -79,6 +79,26 @@ def _sample_axis(x, coords1d, axis):
     return out
 
 
+def sample_bicubic_rows(x: jnp.ndarray, ys: jnp.ndarray, y_lo, y_hi
+                        ) -> jnp.ndarray:
+    """Per-sample bicubic sampling of x [B, H, W] along H only at traced
+    coordinates ys [B, OH] with per-sample tap clamps [y_lo, y_hi]
+    (the freq-warp fast path: identical to sample_bicubic_2d when the
+    W mapping is the identity — the W pass's weights are exactly
+    (0, 1, 0, 0) there, so skipping it changes nothing)."""
+    fy = jnp.floor(ys)
+    ty = ys - fy
+    wy = _cubic_weights(ty)  # [B, OH, 4]
+    by = fy.astype(jnp.int32)
+    out = None
+    for m, off in enumerate((-1, 0, 1, 2)):
+        idx = jnp.clip(by + off, y_lo[:, None], y_hi[:, None])  # [B, OH]
+        tap = jnp.take_along_axis(x, idx[:, :, None], axis=1)
+        contrib = tap * wy[:, :, m][:, :, None]
+        out = contrib if out is None else out + contrib
+    return out
+
+
 def sample_bicubic_2d(canvas: jnp.ndarray,
                       ys: jnp.ndarray, xs: jnp.ndarray,
                       y_lo, y_hi, x_lo, x_hi) -> jnp.ndarray:

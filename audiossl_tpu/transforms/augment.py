@@ -26,7 +26,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from audiossl_tpu.ops.interpolate import sample_bicubic_2d
+from audiossl_tpu.ops.interpolate import (sample_bicubic_2d,
+                                          sample_bicubic_rows)
 
 _EPS32 = float(jnp.finfo(jnp.float32).eps)
 
@@ -189,6 +190,12 @@ def random_resize_crop(key, spec: jnp.ndarray,
     B, F, T = spec.shape
     CH = int(F * virtual_crop_scale[0])
     CW = int(T * virtual_crop_scale[1])
+    # pure freq-warp (the ATST-Frame recipe: vc=(1,1), time_scale=(1,1)):
+    # the canvas placement and the whole time pass of the separable
+    # bicubic are exact identities (fractional x offsets are 0, so the
+    # W-pass weights are (0,1,0,0)) — skip both, sample freq rows only
+    time_identity = (virtual_crop_scale == (1.0, 1.0)
+                     and tuple(time_scale) == (1.0, 1.0))
     if valid_frames is None:
         W = jnp.full((B,), T, jnp.int32)
     else:
@@ -199,12 +206,15 @@ def random_resize_crop(key, spec: jnp.ndarray,
     y0 = (CH - F) // 2
     x0 = (CWv - W) // 2  # [B]
 
-    canvas = jnp.zeros((B, CH, CW), spec.dtype)
+    if time_identity:
+        canvas = spec
+    else:
+        canvas = jnp.zeros((B, CH, CW), spec.dtype)
 
-    def place(c, s, xo):
-        return jax.lax.dynamic_update_slice(c, s, (y0, xo))
+        def place(c, s, xo):
+            return jax.lax.dynamic_update_slice(c, s, (y0, xo))
 
-    canvas = jax.vmap(place)(canvas, spec, x0)
+        canvas = jax.vmap(place)(canvas, spec, x0)
 
     k1, k2, k3, k4 = jax.random.split(key, 4)
     h = jnp.clip((jax.random.uniform(k1, (B,), minval=freq_scale[0],
@@ -222,13 +232,16 @@ def random_resize_crop(key, spec: jnp.ndarray,
     jF = jnp.arange(F, dtype=jnp.float32)[None, :]
     ys = iy[:, None].astype(jnp.float32) + jF * (
         (h.astype(jnp.float32) - 1.0) / max(F - 1, 1))[:, None]
-    jT = jnp.arange(T, dtype=jnp.float32)[None, :]
-    xs = ix[:, None].astype(jnp.float32) + jT * (
-        (w.astype(jnp.float32) - 1.0)
-        / jnp.maximum(W.astype(jnp.float32) - 1.0, 1.0))[:, None]
-    out = sample_bicubic_2d(
-        canvas, ys, xs,
-        y_lo=iy, y_hi=iy + h - 1, x_lo=ix, x_hi=ix + w - 1)
+    if time_identity:
+        out = sample_bicubic_rows(canvas, ys, y_lo=iy, y_hi=iy + h - 1)
+    else:
+        jT = jnp.arange(T, dtype=jnp.float32)[None, :]
+        xs = ix[:, None].astype(jnp.float32) + jT * (
+            (w.astype(jnp.float32) - 1.0)
+            / jnp.maximum(W.astype(jnp.float32) - 1.0, 1.0))[:, None]
+        out = sample_bicubic_2d(
+            canvas, ys, xs,
+            y_lo=iy, y_hi=iy + h - 1, x_lo=ix, x_hi=ix + w - 1)
     pos = jnp.arange(T)[None, None, :]
     return jnp.where(pos < W[:, None, None], out, 0.0)
 

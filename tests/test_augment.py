@@ -204,3 +204,55 @@ def test_sample_crop_lengths_fixed_and_range():
     r = np.asarray(rng)
     assert r.min() >= 5 * 16000 and r.max() <= 7 * 16000
     assert r.std() > 0
+
+
+def test_rrc_freq_only_fast_path_exact():
+    """The pure-freq-warp fast path (vc=(1,1), time_scale=(1,1)) must be
+    bit-identical to the general canvas+2-D-bicubic path: the time pass
+    weights are exactly (0,1,0,0) there. Compare against a copy of the
+    general machinery driven with the same key."""
+    import jax
+    import jax.numpy as jnp
+    from audiossl_tpu.ops.interpolate import sample_bicubic_2d
+    from audiossl_tpu.transforms.augment import random_resize_crop
+
+    rng = np.random.RandomState(0)
+    B, F, T = 3, 64, 101
+    spec = jnp.asarray(rng.randn(B, F, T).astype(np.float32))
+    valid = jnp.asarray([101, 80, 55])
+    key = jax.random.PRNGKey(7)
+
+    got = random_resize_crop(key, spec, virtual_crop_scale=(1.0, 1.0),
+                             freq_scale=(0.6, 1.5),
+                             time_scale=(1.0, 1.0), valid_frames=valid)
+
+    # general path, transcribed (pre-fast-path behavior)
+    W = jnp.clip(valid, 1, T)
+    CH, CW = F, T
+    CWv = jnp.maximum(W, W)
+    x0 = (CWv - W) // 2
+    canvas = jnp.zeros((B, CH, CW), spec.dtype)
+    place = jax.vmap(
+        lambda c, s, xo: jax.lax.dynamic_update_slice(c, s, (0, xo)))
+    canvas = place(canvas, spec, x0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    h = jnp.clip((jax.random.uniform(k1, (B,), minval=0.6, maxval=1.5)
+                  * F).astype(jnp.int32), 1, CH)
+    w = jnp.clip((jax.random.uniform(k2, (B,), minval=1.0, maxval=1.0)
+                  * W.astype(jnp.float32)).astype(jnp.int32), 1, CWv)
+    iy = (jax.random.uniform(k3, (B,))
+          * (CH - h + 1).astype(jnp.float32)).astype(jnp.int32)
+    ix = (jax.random.uniform(k4, (B,))
+          * (CWv - w + 1).astype(jnp.float32)).astype(jnp.int32)
+    jF = jnp.arange(F, dtype=jnp.float32)[None, :]
+    ys = iy[:, None].astype(jnp.float32) + jF * (
+        (h.astype(jnp.float32) - 1.0) / max(F - 1, 1))[:, None]
+    jT = jnp.arange(T, dtype=jnp.float32)[None, :]
+    xs = ix[:, None].astype(jnp.float32) + jT * (
+        (w.astype(jnp.float32) - 1.0)
+        / jnp.maximum(W.astype(jnp.float32) - 1.0, 1.0))[:, None]
+    want = sample_bicubic_2d(canvas, ys, xs, y_lo=iy, y_hi=iy + h - 1,
+                             x_lo=ix, x_hi=ix + w - 1)
+    want = jnp.where(jnp.arange(T)[None, None, :] < W[:, None, None],
+                     want, 0.0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
