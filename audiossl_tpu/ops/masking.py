@@ -63,19 +63,37 @@ def _per_sample_spans(key, batch, num_tokens, ratio, span_for_count,
     computed from each sample's valid length and starts are drawn inside
     [0, valid - margin] (reference random_mask.py:5-15 passes
     padding_mask into compute_mask_indices). Static shapes: K spans are
-    allocated for the full-length case and deactivated per sample."""
+    allocated for the worst case and deactivated per sample.
+
+    Matches compute_mask_indices' distribution exactly on the two
+    details that shift coverage measurably (~3 points of masked
+    fraction at the base recipe, see the fairseq-oracle test):
+
+    * randomized span-count rounding ``int(x + U(0,1))`` instead of
+      deterministic round;
+    * starts sampled WITHOUT replacement (np.random.choice
+      replace=False) via per-sample top-K of uniform keys, instead of
+      independent draws."""
     if valid is None:
         valid = jnp.full((batch,), num_tokens, dtype=jnp.int32)
     else:
         valid = jnp.asarray(valid, dtype=jnp.int32)
-    K = max(min_masks, int(round(ratio * num_tokens / span_for_count)))
+    # worst-case span slots: the randomized rounding can add one
+    K = max(min_masks,
+            int(ratio * num_tokens / span_for_count) + 1)
+    k_round, k_starts = jax.random.split(key)
+    x = ratio * valid.astype(jnp.float32) / span_for_count
     n_spans = jnp.maximum(
         min_masks,
-        jnp.round(ratio * valid.astype(jnp.float32)
-                  / span_for_count).astype(jnp.int32))  # [B]
+        jnp.floor(x + jax.random.uniform(k_round, (batch,)))
+        .astype(jnp.int32))  # [B]
     hi = jnp.maximum(1, valid - start_margin)  # [B]
-    u = jax.random.uniform(key, (batch, K))
-    starts = jnp.floor(u * hi[:, None].astype(jnp.float32)).astype(jnp.int32)
+    # without-replacement sample of K starts from [0, hi): rank uniform
+    # keys, positions past hi pushed to the back
+    u = jax.random.uniform(k_starts, (batch, num_tokens))
+    u = jnp.where(jnp.arange(num_tokens)[None, :] < hi[:, None], u, 2.0)
+    order = jnp.argsort(u, axis=-1)  # [B, T], first hi entries valid
+    starts = jnp.minimum(order[:, :K], hi[:, None] - 1).astype(jnp.int32)
     active = jnp.arange(K)[None, :] < n_spans[:, None]  # [B, K]
     return starts, active, K
 

@@ -13,6 +13,7 @@ import pytest
 
 from audiossl_tpu.ops.masking import (
     block_token_mask,
+    make_token_mask,
     random_token_mask,
     uniform_span_mask,
 )
@@ -256,3 +257,56 @@ def test_rrc_freq_only_fast_path_exact():
     want = jnp.where(jnp.arange(T)[None, None, :] < W[:, None, None],
                      want, 0.0)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def _fairseq_static_mask_np(rng, n, ratio, span, min_masks=2):
+    """Numpy transliteration of fairseq compute_mask_indices
+    (mask_type="static", no_overlap=False, min_space=0, no padding) —
+    the exact algorithm the reference wraps in random_mask.get_mask
+    (reference methods/atstframe/random_mask.py:5-15). Oracle for the
+    distributional-equivalence claim of ops/masking.block_token_mask."""
+    num_mask = int(ratio * n / float(span) + rng.rand())
+    num_mask = max(min_masks, num_mask)
+    min_len = span
+    if n - min_len <= num_mask:
+        min_len = n - num_mask - 1
+    starts = rng.choice(n - min_len, num_mask, replace=False)
+    idx = np.asarray([i + j for i in starts for j in range(span)])
+    mask = np.zeros(n, bool)
+    mask[np.unique(idx[idx < n])] = True
+    return mask
+
+
+def test_block_mask_distribution_matches_fairseq_static():
+    """block_token_mask's per-sample masked-fraction distribution matches
+    the fairseq static algorithm (documented equivalences: deterministic
+    vs randomized span-count rounding, with- vs without-replacement
+    starts) within tight statistical tolerance, and start positions are
+    uniform over the same range."""
+    import jax
+
+    n, ratio, span = 250, 0.65, 5
+    B = 512
+    ours = np.asarray(
+        make_token_mask(jax.random.PRNGKey(0), B, n, ratio,
+                        mask_type="block", span=span))
+    rng = np.random.RandomState(0)
+    ref = np.stack([_fairseq_static_mask_np(rng, n, ratio, span)
+                    for _ in range(B)])
+
+    ours_frac = ours.mean(axis=1)
+    ref_frac = ref.mean(axis=1)
+    # means within 2 points of masked fraction (~0.55 vs ~0.55-0.58)
+    assert abs(ours_frac.mean() - ref_frac.mean()) < 0.02, (
+        ours_frac.mean(), ref_frac.mean())
+    # spread of per-sample coverage comparable (same union-of-spans
+    # process up to the documented rounding/replacement differences)
+    assert abs(ours_frac.std() - ref_frac.std()) < 0.015, (
+        ours_frac.std(), ref_frac.std())
+    # positional uniformity: per-token mask probability flat in the
+    # interior for both (edges dip because spans start in [0, n-span])
+    interior = slice(span, n - span)
+    p_ours = ours[:, interior].mean(axis=0)
+    p_ref = ref[:, interior].mean(axis=0)
+    assert abs(p_ours.mean() - p_ref.mean()) < 0.03
+    assert p_ours.std() < 0.05 and p_ref.std() < 0.05
