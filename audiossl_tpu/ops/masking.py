@@ -101,9 +101,10 @@ def _per_sample_spans(key, batch, num_tokens, ratio, span_for_count,
 def block_token_mask(key, batch: int, num_tokens: int, ratio: float,
                      span: int = 5, min_masks: int = 2, valid=None):
     """Fairseq "static" block masking: fixed span length, overlapping
-    spans, span count and start range from each sample's valid length."""
+    spans, span count and start range from each sample's valid length.
+    Start range [0, valid - span) matches np.random.choice(sz - span)."""
     starts, active, K = _per_sample_spans(
-        key, batch, num_tokens, ratio, span, span - 1, min_masks, valid)
+        key, batch, num_tokens, ratio, span, span, min_masks, valid)
     lengths = jnp.where(active, span, 0).astype(jnp.int32)
     return _span_mask(key, batch, num_tokens, K, (starts, lengths))
 
@@ -111,15 +112,37 @@ def block_token_mask(key, batch: int, num_tokens: int, ratio: float,
 def uniform_span_mask(key, batch: int, num_tokens: int, ratio: float,
                       span: int = 5, min_span: int = 2, min_masks: int = 2,
                       valid=None):
-    """Fairseq "uniform" masking: span lengths uniform in [min_span, 2*span]."""
-    mean_len = (min_span + 2 * span) / 2.0
-    k1, k2 = jax.random.split(key)
-    starts, active, K = _per_sample_spans(
-        k1, batch, num_tokens, ratio, mean_len, 2 * span - 1, min_masks,
-        valid)
-    lengths = jax.random.randint(k2, (batch, K), min_span, 2 * span + 1)
+    """Fairseq "uniform" masking, distribution-exact: span count uses
+    ``span`` as the divisor (NOT the mean drawn length — fairseq divides
+    by mask_length, so uniform mode over-masks by ~mean/span), lengths
+    uniform in [min_span, 2*span], and the start range is
+    [0, valid - min(drawn lengths)) like compute_mask_indices'
+    ``min_len = min(lengths)``."""
+    if valid is None:
+        valid = jnp.full((batch,), num_tokens, dtype=jnp.int32)
+    else:
+        valid = jnp.asarray(valid, dtype=jnp.int32)
+    K = max(min_masks, int(ratio * num_tokens / span) + 1)
+    k_round, k_len, k_starts = jax.random.split(key, 3)
+    x = ratio * valid.astype(jnp.float32) / span
+    n_spans = jnp.maximum(
+        min_masks,
+        jnp.floor(x + jax.random.uniform(k_round, (batch,)))
+        .astype(jnp.int32))
+    active = jnp.arange(K)[None, :] < n_spans[:, None]
+    lengths = jax.random.randint(k_len, (batch, K), min_span,
+                                 2 * span + 1)
+    min_len = jnp.min(jnp.where(active, lengths, 2 * span + 1), axis=1)
+    hi = jnp.maximum(1, valid - min_len)
+    u = jax.random.uniform(k_starts, (batch, num_tokens))
+    u = jnp.where(jnp.arange(num_tokens)[None, :] < hi[:, None], u, 2.0)
+    order = jnp.argsort(u, axis=-1)
+    starts = jnp.minimum(order[:, :K], hi[:, None] - 1).astype(jnp.int32)
     lengths = jnp.where(active, lengths, 0).astype(jnp.int32)
-    return _span_mask(key, batch, num_tokens, K, (starts, lengths))
+    m = _span_mask(key, batch, num_tokens, K, (starts, lengths))
+    # spans longer than min_len may overrun the valid region; fairseq
+    # drops those indices (mask_idc[mask_idc < sz])
+    return m & (jnp.arange(num_tokens)[None, :] < valid[:, None])
 
 
 def make_token_mask(key, batch, num_tokens, ratio, mask_type="block",

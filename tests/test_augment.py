@@ -192,8 +192,8 @@ def test_uniform_mask_respects_valid():
     B, N = 32, 100
     valid = jnp.full((B,), 30, jnp.int32)
     m = uniform_span_mask(key, B, N, 0.65, span=5, valid=valid)
-    # spans start inside [0, valid - 2*span + 1); max end = 30-9+10
-    assert not bool(m[:, 31:].any())
+    # fairseq clips mask indices at the valid length (idx < sz)
+    assert not bool(m[:, 30:].any())
     assert float(m[:, :30].mean()) > 0.2
 
 
@@ -310,3 +310,42 @@ def test_block_mask_distribution_matches_fairseq_static():
     p_ref = ref[:, interior].mean(axis=0)
     assert abs(p_ours.mean() - p_ref.mean()) < 0.03
     assert p_ours.std() < 0.05 and p_ref.std() < 0.05
+
+
+def _fairseq_uniform_mask_np(rng, n, ratio, span, min_span, min_masks=2):
+    """fairseq compute_mask_indices mask_type="uniform" transliteration:
+    count divides by mask_length (span), lengths ~ U[min_span, 2*span],
+    starts without replacement from [0, n - min(lengths))."""
+    num_mask = max(min_masks, int(ratio * n / float(span) + rng.rand()))
+    lengths = rng.randint(min_span, 2 * span + 1, size=num_mask)
+    min_len = lengths.min()
+    if n - min_len <= num_mask:
+        min_len = n - num_mask - 1
+    starts = rng.choice(n - min_len, num_mask, replace=False)
+    idx = np.asarray([s + j for s, L in zip(starts, lengths)
+                      for j in range(L)])
+    mask = np.zeros(n, bool)
+    mask[np.unique(idx[idx < n])] = True
+    return mask
+
+
+def test_uniform_mask_distribution_matches_fairseq():
+    """uniform_span_mask matches fairseq's uniform mode statistically —
+    including the surprising fairseq behavior that the span COUNT
+    divides by mask_length while mean drawn length is (min+2*span)/2,
+    so effective coverage exceeds the nominal ratio."""
+    import jax
+
+    n, ratio, span, min_span = 250, 0.65, 5, 2
+    B = 512
+    ours = np.asarray(
+        make_token_mask(jax.random.PRNGKey(3), B, n, ratio,
+                        mask_type="uniform", span=span,
+                        min_span=min_span))
+    rng = np.random.RandomState(3)
+    ref = np.stack([_fairseq_uniform_mask_np(rng, n, ratio, span,
+                                             min_span)
+                    for _ in range(B)])
+    of, rf = ours.mean(axis=1), ref.mean(axis=1)
+    assert abs(of.mean() - rf.mean()) < 0.02, (of.mean(), rf.mean())
+    assert abs(of.std() - rf.std()) < 0.02, (of.std(), rf.std())
