@@ -69,6 +69,23 @@ def build_parser():
     p.add_argument("--median_window", type=int, default=7)
     p.add_argument("--freeze_mode", action="store_true")
     p.add_argument("--save_top_k", type=int, default=3)
+    # distill mode: frozen finetuned AS-strong teacher added to the
+    # loss as tot = strong/2 + distill_strong/2 (reference --arch
+    # distill -> utils_as_strong/model_distill_as_strong.py:115-141;
+    # the teacher is named explicitly here instead of overloading
+    # --arch)
+    p.add_argument("--distill_ckpt", default=None,
+                   help="teacher SED checkpoint: a previous run's "
+                        "TopKKeeper dir or a save_params dir; enables "
+                        "distill mode")
+    p.add_argument("--distill_arch", default="frameatst",
+                   help="teacher encoder arch (size tier or adapter)")
+    p.add_argument("--distill_pretrained_ckpt_path", default=None,
+                   help="pretrained checkpoint for the teacher "
+                        "encoder module")
+    p.add_argument("--distill_weight", type=float, default=1.0,
+                   help="weight of the strong-distill term (1.0 = "
+                        "the reference's strong/2 + d/2)")
     return p
 
 
@@ -97,6 +114,14 @@ def main(argv=None):
     train_loader = MixedBatchLoader([train_ds], [args.batch_size])
     # head size follows the actual label list (407 for the published
     # common_labels.txt; the registry metadata states the same)
+    teacher_fn = None
+    if args.distill_ckpt:
+        from audiossl_tpu.downstream.train_dcase import build_sed_teacher
+
+        teacher_fn = build_sed_teacher(
+            args.distill_ckpt, args.distill_arch,
+            args.distill_pretrained_ckpt_path or args.pretrained_ckpt_path,
+            len(labels))
     cfg = SEDConfig(num_labels=len(labels),
                     learning_rate=args.learning_rate,
                     max_epochs=args.max_epochs,
@@ -104,8 +129,11 @@ def main(argv=None):
                     warmup_epochs=args.warmup_epochs,
                     median_window=args.median_window,
                     lr_scale=args.lr_scale,
-                    freeze_mode=args.freeze_mode)
-    task = SEDTask(enc_mod, cfg)
+                    freeze_mode=args.freeze_mode,
+                    distill_weight=(args.distill_weight
+                                    if teacher_fn is not None else 0.0),
+                    distill_combine="average_strong")
+    task = SEDTask(enc_mod, cfg, teacher_fn=teacher_fn)
     state = task.init_state(jax.random.PRNGKey(0), enc_params)
     step = jax.jit(task.make_train_step(), donate_argnums=0)
     predict = jax.jit(task.make_predict_fn())

@@ -39,6 +39,11 @@ class SEDConfig:
     median_window: int = 7
     n_test_thresholds: int = 50
     distill_weight: float = 0.0  # >0: add frozen-teacher BCE
+    # "add": DCASE mode, total += w*(strong_d+weak_d)/2 (reference
+    # utils_dcase/model_distill.py:170-174); "average_strong":
+    # AS-strong mode, total = strong/2 + strong_d/2, weak ignored
+    # (reference utils_as_strong/model_distill_as_strong.py:123-137)
+    distill_combine: str = "add"
     mel: MelConfig = MelConfig()
     sr: int = 16000
 
@@ -164,10 +169,17 @@ class SEDTask:
                     bce_dw = -(t_weak * jnp.log(weak + eps)
                                + (1 - t_weak)
                                * jnp.log(1 - weak + eps))
-                    # reference loss_d = (strong_d + weak_d)/2
-                    # (model_distill.py:170-174)
-                    total = total + cfg.distill_weight * 0.5 * (
-                        bce_ds.mean() + bce_dw.mean())
+                    if cfg.distill_combine == "average_strong":
+                        # AS-strong reference: tot = strong/2 + d/2
+                        # (model_distill_as_strong.py:132-137)
+                        total = (0.5 * total
+                                 + cfg.distill_weight * 0.5
+                                 * bce_ds.mean())
+                    else:
+                        # DCASE reference loss_d = (strong_d+weak_d)/2
+                        # (model_distill.py:170-174)
+                        total = total + cfg.distill_weight * 0.5 * (
+                            bce_ds.mean() + bce_dw.mean())
                 return total, (strong_loss, weak_loss)
 
             (loss, (sl, wl)), grads = jax.value_and_grad(

@@ -115,3 +115,43 @@ def test_embedding_load_model_torch_ckpt(tmp_path):
     emb = get_scene_embedding(wav, model)
     assert emb.shape == (1, 12 * 384)
     assert bool(jnp.isfinite(emb).all())
+
+
+@pytest.mark.slow
+def test_train_as_strong_distill_mode(tmp_path):
+    """AS-strong distill wiring (reference --arch distill ->
+    model_distill_as_strong.py): run 1 persists a finetuned state, run
+    2 uses it as the frozen teacher with tot = strong/2 + d/2."""
+    from audiossl_tpu.downstream.train_as_strong import main
+
+    ckpt = _save_tiny_encoder(tmp_path, use_cls=False)
+    data = str(tmp_path / "as_strong")
+    labels = ["Music", "Speech", "Water"]
+    os.makedirs(data, exist_ok=True)
+    with open(os.path.join(data, "common_labels.txt"), "w") as f:
+        f.write("\n".join(labels) + "\n")
+    rng = np.random.RandomState(1)
+    sr = 16000
+    for sub, n in (("train", 4), ("val", 2), ("eval", 2)):
+        audio = os.path.join(data, sub, "audio")
+        os.makedirs(audio, exist_ok=True)
+        rows = []
+        for i in range(n):
+            fname = f"{sub}_{i}.wav"
+            wavfile.write(os.path.join(audio, fname), sr,
+                          (rng.randn(sr) * 3000).astype(np.int16))
+            rows.append({"filename": fname, "onset": 0.1, "offset": 0.9,
+                         "event_label": labels[i % 3]})
+        pd.DataFrame(rows).to_csv(os.path.join(data, sub, "meta.tsv"),
+                                  sep="\t", index=False)
+    common = ["--pretrained_ckpt_path", ckpt, "--data_path", data,
+              "--arch", "tiny", "--batch_size", "2", "--max_epochs", "1",
+              "--warmup_epochs", "0", "--learning_rate", "0.01"]
+    teacher_save = str(tmp_path / "teacher_run")
+    main(common + ["--save_path", teacher_save])
+    res = main(common + ["--distill_ckpt", teacher_save,
+                         "--distill_arch", "tiny",
+                         "--distill_pretrained_ckpt_path", ckpt,
+                         "--distill_weight", "1.0"])
+    for k in ("psds1", "psds2", "event_f1"):
+        assert 0.0 <= res[k] <= 1.0
