@@ -349,3 +349,47 @@ def test_uniform_mask_distribution_matches_fairseq():
     of, rf = ours.mean(axis=1), ref.mean(axis=1)
     assert abs(of.mean() - rf.mean()) < 0.02, (of.mean(), rf.mean())
     assert abs(of.std() - rf.std()) < 0.02, (of.std(), rf.std())
+
+
+def test_rrc_random_box_matches_torch_reference():
+    """Per-sample traced-coordinate bicubic vs the reference's exact
+    computation (crop a random box out of the centered virtual canvas,
+    F.interpolate bicubic align_corners=True — byol_a.py:34-49) at
+    matched box parameters, full valid width."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as tF
+    from audiossl_tpu.ops.interpolate import sample_bicubic_2d
+
+    rng = np.random.RandomState(5)
+    F_, T = 64, 96
+    vc = (1.0, 1.5)
+    CH, CW = int(F_ * vc[0]), int(T * vc[1])
+    for trial in range(5):
+        spec = rng.randn(1, F_, T).astype(np.float32)
+        # reference forward with a fixed box
+        h = int(rng.uniform(0.6, 1.5) * F_)
+        w = int(rng.uniform(0.6, 1.5) * T)
+        h, w = min(h, CH), min(w, CW)
+        i = rng.randint(0, CH - h + 1)
+        j = rng.randint(0, CW - w + 1)
+        canvas_t = torch.zeros((1, CH, CW))
+        y0, x0 = (CH - F_) // 2, (CW - T) // 2
+        canvas_t[:, y0:y0 + F_, x0:x0 + T] = torch.from_numpy(spec)
+        crop = canvas_t[:, i:i + h, j:j + w]
+        want = tF.interpolate(crop.unsqueeze(0), size=(F_, T),
+                              mode="bicubic",
+                              align_corners=True).squeeze(0).numpy()
+
+        # ours: same canvas, same box, traced coordinates
+        canvas = jnp.asarray(canvas_t.numpy())
+        ys = (i + np.arange(F_) * (h - 1) / max(F_ - 1, 1))[None, :]
+        xs = (j + np.arange(T) * (w - 1) / max(T - 1, 1))[None, :]
+        got = sample_bicubic_2d(
+            canvas, jnp.asarray(ys, jnp.float32),
+            jnp.asarray(xs, jnp.float32),
+            y_lo=jnp.asarray([i]), y_hi=jnp.asarray([i + h - 1]),
+            x_lo=jnp.asarray([j]), x_hi=jnp.asarray([j + w - 1]))
+        # f32 accumulation-order noise between torch's separable
+        # passes and ours is ~5e-5; no semantic difference
+        np.testing.assert_allclose(np.asarray(got)[0], want[0],
+                                   atol=2e-4)
