@@ -175,3 +175,24 @@ def test_fused_adamw_ema_matches_split_pipeline():
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        atol=1e-7, err_msg=name)
     assert "predictor" not in t_b
+
+
+def test_schedules_match_reference_implementation():
+    """cosine_schedule_array vs the reference's own
+    cosine_scheduler_step/epoch imported from /root/reference
+    (utils/common.py:16-40) — exact agreement."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_common", "/root/reference/audiossl/utils/common.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    from audiossl_tpu.training.schedules import cosine_schedule_array
+
+    for base, final, steps, warm in ((5e-4, 1e-6, 1000, 100),
+                                     (0.04, 0.4, 398000, 0),
+                                     (0.9996, 1.0, 500, 7)):
+        want = ref.cosine_scheduler_step(base, final, steps, warm)
+        got = cosine_schedule_array(base, final, steps, warm)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6,
+                                   atol=0)
