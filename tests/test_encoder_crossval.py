@@ -12,28 +12,30 @@ import pytest
 from audiossl_tpu.sed.encoder import ManyHotEncoder
 
 
+class _DecisionEncoder:
+    def find_contiguous_regions(self, activity_array):
+        # standard dcase_util implementation (public): boundaries
+        # where the binary array changes value
+        change = np.logical_xor(activity_array[1:],
+                                activity_array[:-1]).nonzero()[0]
+        change += 1
+        if activity_array[0]:
+            change = np.r_[0, change]
+        if activity_array[-1]:
+            change = np.r_[change, activity_array.size]
+        return change.reshape((-1, 2))
+
+
 def _load_reference_encoder():
     if "dcase_util.data" not in sys.modules:
         du = types.ModuleType("dcase_util")
         dud = types.ModuleType("dcase_util.data")
-
-        class DecisionEncoder:
-            def find_contiguous_regions(self, activity_array):
-                # standard dcase_util implementation (public):
-                # boundaries where the binary array changes value
-                change = np.logical_xor(activity_array[1:],
-                                        activity_array[:-1]).nonzero()[0]
-                change += 1
-                if activity_array[0]:
-                    change = np.r_[0, change]
-                if activity_array[-1]:
-                    change = np.r_[change, activity_array.size]
-                return change.reshape((-1, 2))
-
-        dud.DecisionEncoder = DecisionEncoder
         du.data = dud
         sys.modules["dcase_util"] = du
         sys.modules["dcase_util.data"] = dud
+    # ref_stubs.py may have pre-installed DecisionEncoder = object
+    # (suite-order dependent); always install the working one
+    sys.modules["dcase_util.data"].DecisionEncoder = _DecisionEncoder
     # import the module by file path: the audiossl package __init__
     # pulls in lmdb/pyarrow which this env doesn't ship
     import importlib.util
