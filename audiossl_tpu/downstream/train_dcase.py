@@ -153,9 +153,13 @@ def build_sed_teacher(sed_ckpt, arch, pretrained_ckpt, num_labels):
 
     index_path = os.path.join(sed_ckpt, "top", "index.json")
     if os.path.exists(index_path):
-        with open(index_path) as f:
-            index = {int(k): float(v) for k, v in json.load(f).items()}
-        tag = max(index, key=lambda t: index[t])
+        from audiossl_tpu.training.checkpoint import read_topk_index
+
+        index, mode = read_topk_index(index_path)
+        # BEST entry per the keeper's monitor mode (AS-strong keepers
+        # store val LOSS with mode="min" - max() would pick the worst)
+        sel = max if mode == "max" else min
+        tag = sel(index, key=lambda t: index[t])
         tree = restore_params(os.path.join(sed_ckpt, "top", str(tag)))
     else:
         tree = restore_params(sed_ckpt)

@@ -55,56 +55,47 @@ def _span_mask(key, batch, num_tokens, starts_count, span_lengths):
     return jnp.any((tok >= s) & (tok < e), axis=1)  # [B, T]
 
 
-def _per_sample_spans(key, batch, num_tokens, ratio, span_for_count,
-                      start_margin, min_masks, valid):
-    """Per-sample (starts, active-count) honoring valid lengths.
-
-    Fairseq applies the padding mask before sampling: the span count is
-    computed from each sample's valid length and starts are drawn inside
-    [0, valid - margin] (reference random_mask.py:5-15 passes
-    padding_mask into compute_mask_indices). Static shapes: K spans are
-    allocated for the worst case and deactivated per sample.
-
-    Matches compute_mask_indices' distribution exactly on the two
-    details that shift coverage measurably (~3 points of masked
-    fraction at the base recipe, see the fairseq-oracle test):
-
-    * randomized span-count rounding ``int(x + U(0,1))`` instead of
-      deterministic round;
-    * starts sampled WITHOUT replacement (np.random.choice
-      replace=False) via per-sample top-K of uniform keys, instead of
-      independent draws."""
+def _valid_arr(valid, batch, num_tokens):
     if valid is None:
-        valid = jnp.full((batch,), num_tokens, dtype=jnp.int32)
-    else:
-        valid = jnp.asarray(valid, dtype=jnp.int32)
-    # worst-case span slots: the randomized rounding can add one
-    K = max(min_masks,
-            int(ratio * num_tokens / span_for_count) + 1)
-    k_round, k_starts = jax.random.split(key)
-    x = ratio * valid.astype(jnp.float32) / span_for_count
-    n_spans = jnp.maximum(
-        min_masks,
-        jnp.floor(x + jax.random.uniform(k_round, (batch,)))
-        .astype(jnp.int32))  # [B]
-    hi = jnp.maximum(1, valid - start_margin)  # [B]
-    # without-replacement sample of K starts from [0, hi): rank uniform
-    # keys, positions past hi pushed to the back
-    u = jax.random.uniform(k_starts, (batch, num_tokens))
+        return jnp.full((batch,), num_tokens, dtype=jnp.int32)
+    return jnp.asarray(valid, dtype=jnp.int32)
+
+
+def _span_count(key, ratio, span, min_masks, valid):
+    """Per-sample span count with fairseq's randomized rounding
+    ``int(x + U(0,1))`` (x = ratio*valid/mask_length — compute_mask_
+    indices divides by mask_length in BOTH static and uniform modes)."""
+    x = ratio * valid.astype(jnp.float32) / span
+    u = jax.random.uniform(key, valid.shape)
+    return jnp.maximum(min_masks, jnp.floor(x + u).astype(jnp.int32))
+
+
+def _span_starts(key, batch, num_tokens, K, hi):
+    """K per-sample start positions sampled WITHOUT replacement from
+    [0, hi) (np.random.choice replace=False) via per-sample top-K of
+    uniform keys; positions past hi are pushed to the back and any
+    overflow (hi < K) clamps to hi-1."""
+    u = jax.random.uniform(key, (batch, num_tokens))
     u = jnp.where(jnp.arange(num_tokens)[None, :] < hi[:, None], u, 2.0)
-    order = jnp.argsort(u, axis=-1)  # [B, T], first hi entries valid
-    starts = jnp.minimum(order[:, :K], hi[:, None] - 1).astype(jnp.int32)
-    active = jnp.arange(K)[None, :] < n_spans[:, None]  # [B, K]
-    return starts, active, K
+    order = jnp.argsort(u, axis=-1)
+    return jnp.minimum(order[:, :K], hi[:, None] - 1).astype(jnp.int32)
 
 
 def block_token_mask(key, batch: int, num_tokens: int, ratio: float,
                      span: int = 5, min_masks: int = 2, valid=None):
-    """Fairseq "static" block masking: fixed span length, overlapping
-    spans, span count and start range from each sample's valid length.
-    Start range [0, valid - span) matches np.random.choice(sz - span)."""
-    starts, active, K = _per_sample_spans(
-        key, batch, num_tokens, ratio, span, span, min_masks, valid)
+    """Fairseq "static" block masking, distribution-exact: fixed span
+    length, overlapping spans allowed, randomized span-count rounding,
+    without-replacement starts in [0, valid - span) (np.random.choice
+    (sz - span)), honoring per-sample valid lengths (fairseq applies
+    the padding mask before sampling)."""
+    valid = _valid_arr(valid, batch, num_tokens)
+    # worst-case span slots: the randomized rounding can add one
+    K = max(min_masks, int(ratio * num_tokens / span) + 1)
+    k_round, k_starts = jax.random.split(key)
+    n_spans = _span_count(k_round, ratio, span, min_masks, valid)
+    hi = jnp.maximum(1, valid - span)
+    starts = _span_starts(k_starts, batch, num_tokens, K, hi)
+    active = jnp.arange(K)[None, :] < n_spans[:, None]
     lengths = jnp.where(active, span, 0).astype(jnp.int32)
     return _span_mask(key, batch, num_tokens, K, (starts, lengths))
 
@@ -115,33 +106,22 @@ def uniform_span_mask(key, batch: int, num_tokens: int, ratio: float,
     """Fairseq "uniform" masking, distribution-exact: span count uses
     ``span`` as the divisor (NOT the mean drawn length — fairseq divides
     by mask_length, so uniform mode over-masks by ~mean/span), lengths
-    uniform in [min_span, 2*span], and the start range is
+    uniform in [min_span, 2*span], start range
     [0, valid - min(drawn lengths)) like compute_mask_indices'
-    ``min_len = min(lengths)``."""
-    if valid is None:
-        valid = jnp.full((batch,), num_tokens, dtype=jnp.int32)
-    else:
-        valid = jnp.asarray(valid, dtype=jnp.int32)
+    ``min_len = min(lengths)``, and mask indices clipped at the valid
+    length (mask_idc[mask_idc < sz])."""
+    valid = _valid_arr(valid, batch, num_tokens)
     K = max(min_masks, int(ratio * num_tokens / span) + 1)
     k_round, k_len, k_starts = jax.random.split(key, 3)
-    x = ratio * valid.astype(jnp.float32) / span
-    n_spans = jnp.maximum(
-        min_masks,
-        jnp.floor(x + jax.random.uniform(k_round, (batch,)))
-        .astype(jnp.int32))
+    n_spans = _span_count(k_round, ratio, span, min_masks, valid)
     active = jnp.arange(K)[None, :] < n_spans[:, None]
     lengths = jax.random.randint(k_len, (batch, K), min_span,
                                  2 * span + 1)
     min_len = jnp.min(jnp.where(active, lengths, 2 * span + 1), axis=1)
     hi = jnp.maximum(1, valid - min_len)
-    u = jax.random.uniform(k_starts, (batch, num_tokens))
-    u = jnp.where(jnp.arange(num_tokens)[None, :] < hi[:, None], u, 2.0)
-    order = jnp.argsort(u, axis=-1)
-    starts = jnp.minimum(order[:, :K], hi[:, None] - 1).astype(jnp.int32)
+    starts = _span_starts(k_starts, batch, num_tokens, K, hi)
     lengths = jnp.where(active, lengths, 0).astype(jnp.int32)
     m = _span_mask(key, batch, num_tokens, K, (starts, lengths))
-    # spans longer than min_len may overrun the valid region; fairseq
-    # drops those indices (mask_idc[mask_idc < sz])
     return m & (jnp.arange(num_tokens)[None, :] < valid[:, None])
 
 

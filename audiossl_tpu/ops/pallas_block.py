@@ -219,6 +219,9 @@ def attn_block_infer(x, valid, p, num_heads, eps=1e-6, dp=None,
     quant="int8" runs the qkv/proj weight matmuls on the int8 MXU path
     (per-channel weight + per-row activation scales — an opt-in
     numerics change, see encoder_blocks_infer)."""
+    if quant not in (None, "int8"):
+        raise ValueError(f"unknown quant mode {quant!r} "
+                         "(supported: None, 'int8')")
     B, N, C = x.shape
     dp = jnp.ones((B,), jnp.float32) if dp is None else dp
     d = C // num_heads
@@ -281,6 +284,9 @@ def mlp_block_infer(x, p, eps=1e-6, dp=None, quant=None,
     """x: [B, N, C]; p: Block param subtree {norm2, mlp:{fc1, fc2}};
     dp: optional per-sample stochastic-depth keep multiplier [B];
     quant="int8" as in attn_block_infer."""
+    if quant not in (None, "int8"):
+        raise ValueError(f"unknown quant mode {quant!r} "
+                         "(supported: None, 'int8')")
     B, N, C = x.shape
     dp = jnp.ones((B,), jnp.float32) if dp is None else dp
     cdt = x.dtype

@@ -172,8 +172,11 @@ def _pick_mb(B):
     end-to-end frame-step throughput was 329.7 clips/s at mb=1,
     slower at mb=2, and 313.9 at mb=4 (the bigger VMEM blocks for
     x/dy/u plus the f32 grad accumulators crowd out double-buffering).
-    Kept parametric so other chips can retune; v5e optimum is 1."""
-    return 1
+    Kept parametric so other chips can retune; v5e optimum is 1.
+    Must divide the batch (the grid is B // mb) - non-divisors fall
+    back to 1 rather than silently dropping trailing samples."""
+    mb = 1
+    return mb if B % mb == 0 else 1
 
 
 def _const(*idx):

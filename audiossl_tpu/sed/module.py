@@ -170,9 +170,10 @@ class SEDTask:
                                + (1 - t_weak)
                                * jnp.log(1 - weak + eps))
                     if cfg.distill_combine == "average_strong":
-                        # AS-strong reference: tot = strong/2 + d/2
+                        # AS-strong reference: tot = strong/2 + d/2,
+                        # weak loss NOT in the total
                         # (model_distill_as_strong.py:132-137)
-                        total = (0.5 * total
+                        total = (0.5 * strong_loss
                                  + cfg.distill_weight * 0.5
                                  * bce_ds.mean())
                     else:

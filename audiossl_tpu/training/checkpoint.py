@@ -98,17 +98,17 @@ class TopKKeeper:
         self._index_path = os.path.join(self.dir, "index.json")
         self._index = {}
         if os.path.exists(self._index_path):
-            import json
-
-            with open(self._index_path) as f:
-                self._index = {int(k_): float(v)
-                               for k_, v in json.load(f).items()}
+            self._index = read_topk_index(self._index_path)[0]
 
     def _write_index(self):
         import json
 
         with open(self._index_path, "w") as f:
-            json.dump({str(k): v for k, v in self._index.items()}, f)
+            # record the monitor mode so consumers (e.g. the distill
+            # teacher loader) can pick the BEST entry, not max(score)
+            json.dump({"mode": self.mode,
+                       "scores": {str(k): v
+                                  for k, v in self._index.items()}}, f)
 
     def _worse(self, a: float, b: float) -> bool:
         return a < b if self.mode == "max" else a > b
@@ -171,3 +171,17 @@ def save_params(directory: str, params) -> None:
 def restore_params(directory: str, abstract_params=None):
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(_abs(directory), abstract_params)
+
+
+def read_topk_index(index_path: str):
+    """-> (scores {tag: metric}, mode). Reads both the current
+    {"mode", "scores"} layout and the legacy flat {tag: metric} one
+    (mode defaults to "max" for legacy files)."""
+    import json
+
+    with open(index_path) as f:
+        data = json.load(f)
+    if isinstance(data, dict) and "scores" in data:
+        return ({int(k): float(v) for k, v in data["scores"].items()},
+                data.get("mode", "max"))
+    return {int(k): float(v) for k, v in data.items()}, "max"

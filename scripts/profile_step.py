@@ -102,7 +102,7 @@ def op_kind(name):
     opm = re.search(r"\]\s*(?:\{[^}]*\}\s*)?([a-z][\w\-]*)\(", rhs)
     hlo = opm.group(1) if opm else ""
     if hlo == "fusion":
-        return base if base != "fusion" else "fusion"
+        return base  # named fusions keep their lhs identity
     return hlo or base
 
 

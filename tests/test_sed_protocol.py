@@ -117,3 +117,29 @@ def test_topk_keeper_min_mode(tmp_path):
     assert keep.update(0.5, 1, s(0.5))
     assert not keep.update(2.0, 2, s(2.0))
     assert keep.best_tag == 1
+
+
+def test_topk_index_records_mode_and_best_selection(tmp_path):
+    """The index file records the monitor mode so consumers (the
+    distill teacher loader) pick the BEST entry: for a min-mode keeper
+    (AS-strong val loss) that is the LOWEST score, not max()."""
+    from audiossl_tpu.training.checkpoint import read_topk_index
+
+    keeper = TopKKeeper(str(tmp_path), k=3, mode="min")
+    state = {"w": np.zeros(2, np.float32)}
+    keeper.update(0.9, 1, state)
+    keeper.update(0.3, 2, state)
+    keeper.update(0.6, 3, state)
+    scores, mode = read_topk_index(
+        os.path.join(str(tmp_path), "top", "index.json"))
+    assert mode == "min"
+    sel = max if mode == "max" else min
+    assert sel(scores, key=lambda t: scores[t]) == 2
+    assert keeper.best_tag == 2
+
+    # legacy flat index files still read (mode defaults to "max")
+    import json
+    legacy = tmp_path / "legacy.json"
+    legacy.write_text(json.dumps({"1": 0.5, "2": 0.8}))
+    scores, mode = read_topk_index(str(legacy))
+    assert mode == "max" and scores == {1: 0.5, 2: 0.8}
