@@ -55,9 +55,15 @@ class EmbeddingModel:
 
 
 def load_model(ckpt_path: str, arch: Optional[str] = None,
-               which: str = "teacher") -> EmbeddingModel:
+               which: str = "teacher", fused: bool = False,
+               quant: str = "none") -> EmbeddingModel:
     """Load atstframe_{small,base} weights from a reference PyTorch
-    Lightning checkpoint (.ckpt) or an orbax directory."""
+    Lightning checkpoint (.ckpt) or an orbax directory.
+
+    fused=True runs extraction through the whole-block resident-weight
+    inference kernels (TPU bf16 path); quant="int8" additionally uses
+    the int8 MXU matmuls (2x peak; ~1e-2 relative output change — for
+    bulk offline extraction, NOT parity evaluation)."""
     if ckpt_path.endswith(".ckpt"):
         from audiossl_tpu.compat.torch_import import load_pretrain_checkpoint
 
@@ -72,8 +78,12 @@ def load_model(ckpt_path: str, arch: Optional[str] = None,
             arch = "base"
     from audiossl_tpu.models.atst import frame_ast_tiny
 
+    kw = {}
+    if fused:
+        kw = dict(fused_attention=True, fused_infer=True,
+                  infer_quant=quant, dtype=jnp.bfloat16)
     enc = {"tiny": frame_ast_tiny, "small": frame_ast_small,
-           "base": frame_ast_base}[arch](spec_w=CHUNK_FRAMES)
+           "base": frame_ast_base}[arch](spec_w=CHUNK_FRAMES, **kw)
     return EmbeddingModel(encoder=enc, params=params)
 
 

@@ -54,6 +54,9 @@ class ClipPretrainConfig:
     dtype: str = "float32"
     # fused Pallas MHA / whole-block teacher kernels; TPU-only at runtime
     fused_attention: bool = True
+    # "int8": quantized no-grad TEACHER matmuls (2x MXU peak) - an
+    # OPT-IN recipe change (see docs/PROFILE.md roofline ceiling)
+    teacher_quant: str = "none"
 
     @property
     def max_len_s(self) -> float:
@@ -144,7 +147,8 @@ class ClipMethod:
         hd, od = (128, 32) if cfg.arch == "tiny" else (4096, 256)
         # teacher forwards are never differentiated -> whole-block
         # fused inference kernels (stochastic depth stays in-kernel)
-        tea_kw = dict(enc_kw, fused_infer=cfg.fused_attention)
+        tea_kw = dict(enc_kw, fused_infer=cfg.fused_attention,
+                      infer_quant=cfg.teacher_quant)
         self.student = Branch(encoder=enc_fn(**enc_kw), predictor=True,
                               hidden_dim=hd, out_dim=od)
         self.teacher = Branch(encoder=enc_fn(**tea_kw), predictor=False,
