@@ -115,11 +115,16 @@ class NativeReader:
 
 class NativeBatchLoader:
     """Drop-in pretraining loader over a PackedAudioDataset using the
-    native reader (labels omitted — the SSL pretrain path needs none)."""
+    native reader (labels omitted — the SSL pretrain path needs none).
+
+    Batches are prefetched by a background thread (the C++ read
+    releases the GIL, so assembly overlaps the device step) into a
+    bounded queue — the native equivalent of the reference DataLoader's
+    worker prefetch."""
 
     def __init__(self, dataset, batch_size: int, pad_samples: int,
                  shuffle: bool = True, seed: int = 0, epoch: int = 0,
-                 n_threads: int = 8):
+                 n_threads: int = 8, prefetch: int = 2):
         pack_path = dataset.reader.path
         self.keys = np.asarray(dataset.keys, np.int64)
         self.reader = NativeReader(pack_path)
@@ -129,6 +134,7 @@ class NativeBatchLoader:
         self.seed = seed
         self.epoch = epoch
         self.n_threads = n_threads
+        self.prefetch = max(1, prefetch)
 
     def __len__(self):
         return len(self.keys) // self.batch_size
@@ -136,13 +142,49 @@ class NativeBatchLoader:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
+    def _read(self, order, b):
+        sel = self.keys[order[b * self.batch_size:
+                              (b + 1) * self.batch_size]]
+        wav, valid = self.reader.read_batch(sel, self.pad_samples,
+                                            self.n_threads)
+        return {"wav": wav, "valid": valid}
+
     def __iter__(self):
+        import queue
+
         order = np.arange(len(self.keys))
         if self.shuffle:
             np.random.RandomState(self.seed + self.epoch).shuffle(order)
-        for b in range(len(self)):
-            sel = self.keys[order[b * self.batch_size:
-                                  (b + 1) * self.batch_size]]
-            wav, valid = self.reader.read_batch(sel, self.pad_samples,
-                                                self.n_threads)
-            yield {"wav": wav, "valid": valid}
+        n = len(self)
+        if n == 0:
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            for b in range(n):
+                if stop.is_set():
+                    return
+                try:
+                    item = self._read(order, b)
+                except Exception as e:  # surface in the consumer
+                    q.put(e)
+                    return
+                q.put(item)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            for _ in range(n):
+                item = q.get()
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # unblock a producer waiting on a full queue
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

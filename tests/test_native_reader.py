@@ -50,3 +50,31 @@ def test_native_rejects_bad_index(pack):
     nr = NativeReader(ds.reader.path)
     with pytest.raises(IOError):
         nr.read_batch(np.array([len(nr) + 5]), 100)
+
+
+def test_native_loader_prefetch_and_early_exit(tmp_path):
+    """Prefetching yields the same batches as the synchronous path and
+    breaking out of iteration mid-epoch does not wedge the producer."""
+    pytest.importorskip("numpy")
+    from audiossl_tpu.datasets import write_synthetic_pack
+    from audiossl_tpu.datasets.native import NativeBatchLoader, get_lib
+    from audiossl_tpu.datasets.packed import PackedAudioDataset
+
+    if get_lib() is None:
+        pytest.skip("no g++")
+    data = str(tmp_path / "pack")
+    write_synthetic_pack(data, "train", 12, min_s=0.2, max_s=0.4,
+                         num_labels=3, seed=0)
+    ds = PackedAudioDataset(data, "train")
+    mk = lambda pf: NativeBatchLoader(ds, batch_size=3,  # noqa: E731
+                                      pad_samples=8000, shuffle=True,
+                                      seed=1, prefetch=pf)
+    got = [(b["wav"].sum(), tuple(b["valid"])) for b in mk(2)]
+    want = [(b["wav"].sum(), tuple(b["valid"])) for b in mk(1)]
+    assert got == want and len(got) == 4
+    # early exit mid-epoch: no deadlock, next epoch still works
+    loader = mk(2)
+    for k, _ in enumerate(loader):
+        if k == 1:
+            break
+    assert len(list(loader)) == 4
