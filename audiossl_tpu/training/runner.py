@@ -8,6 +8,7 @@ is the parallelism.
 """
 from __future__ import annotations
 
+import threading
 import time
 from typing import Optional
 
@@ -123,6 +124,7 @@ def run_pretraining(method, dataset, *, batch_size_per_device: int,
                            process_count=proc_cnt)
 
     profiling = False
+    _save_thread = [None]
     while not done:
         loader = make_loader(epoch)
         for batch in loader:
@@ -150,12 +152,25 @@ def run_pretraining(method, dataset, *, batch_size_per_device: int,
                     flush=True)
             if mgr is not None and step % ckpt_interval == 0:
                 # device_get only when actually saving — pulling the
-                # full state to host every step would dominate
-                mgr.save(step, jax.device_get(state))
+                # full state to host every step would dominate. The
+                # host copy is synchronous (it must complete before the
+                # donated buffers are reused next step); the orbax
+                # WRITE then runs on a background thread so serialization
+                # and disk IO overlap subsequent steps.
+                host_state = jax.device_get(state)
+                if _save_thread[0] is not None:
+                    _save_thread[0].join()
+                th = threading.Thread(
+                    target=mgr.save, args=(step, host_state),
+                    daemon=True)
+                th.start()
+                _save_thread[0] = th
             if step >= max_steps:
                 done = True
                 break
         epoch += 1
+    if _save_thread[0] is not None:
+        _save_thread[0].join()
     if mgr is not None:
         mgr.save(step, jax.device_get(state), force=True)
         mgr.wait()
