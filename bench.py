@@ -29,12 +29,32 @@ driver contract is unchanged).
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+# Backend-init watchdog BEFORE touching jax: when the axon tunnel
+# black-holes (observed: jax.devices() hangs indefinitely), fail
+# loudly instead of wedging the caller. Disarmed once the backend is
+# up; generous so real cold compiles never trip it.
+_INIT_TIMEOUT_S = int(os.environ.get("BENCH_INIT_TIMEOUT_S", "900"))
+_backend_up = threading.Event()
+
+
+def _watchdog():
+    if not _backend_up.wait(_INIT_TIMEOUT_S):
+        print(f"bench: backend init did not complete within "
+              f"{_INIT_TIMEOUT_S}s (TPU tunnel down?) - aborting",
+              file=sys.stderr, flush=True)
+        os._exit(3)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 BASELINE_CLIPS_PER_SEC = 144.0
 
@@ -45,6 +65,7 @@ def _measure(step, state, batch, B, iters=12, windows=3):
     for _ in range(5):
         state, metrics = step(state, batch)
     float(metrics["loss"])
+    _backend_up.set()  # first real step done: disarm the init watchdog
     best_dt = float("inf")
     for _ in range(windows):
         t0 = time.perf_counter()
