@@ -67,8 +67,10 @@ def test_train_dcase_driver_e2e(tmp_path):
 
     idx = os.path.join(save, "top", "index.json")
     assert os.path.exists(idx)
-    with open(idx) as f:
-        entries = json.load(f)
+    from audiossl_tpu.training.checkpoint import read_topk_index
+
+    entries, mode = read_topk_index(idx)
+    assert mode == "max"  # DCASE keeper monitors weak F1 (max)
     assert len(entries) == 1  # 1 epoch -> 1 kept checkpoint
 
 
