@@ -65,6 +65,11 @@ def build_parser():
                         "starting at this step")
     p.add_argument("--shard_optimizer", action="store_true",
                    help="ZeRO-1: shard Adam moments over the data mesh")
+    p.add_argument("--teacher_quant", default="none",
+                   choices=["none", "int8"],
+                   help="int8: quantized no-grad teacher matmuls (2x "
+                        "MXU peak) - an opt-in recipe change, see "
+                        "docs/PROFILE.md roofline ceiling")
     p.add_argument("--clip_len", type=float, default=10.0,
                    help="host buffer seconds (full clip length)")
     return p
@@ -89,6 +94,7 @@ def main(argv=None):
         pos_type=args.pos_type,
         avg_blocks=args.avg_blocks,
         dtype=args.dtype,
+        teacher_quant=args.teacher_quant,
         optimizer=OptimizerConfig(
             learning_rate=lr, warmup_steps=args.warmup_steps,
             max_steps=args.max_steps, ema=args.ema),
