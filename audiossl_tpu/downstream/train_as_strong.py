@@ -135,8 +135,14 @@ def main(argv=None):
                     distill_combine="average_strong")
     task = SEDTask(enc_mod, cfg, teacher_fn=teacher_fn)
     state = task.init_state(jax.random.PRNGKey(0), enc_params)
+    # data-parallel over all local devices (reference: DDP SED
+    # finetune; here replicated state + sharded global batches)
+    from audiossl_tpu.parallel.mesh import downstream_spmd
+
+    mesh, state, shard = downstream_spmd(state)
     step = jax.jit(task.make_train_step(), donate_argnums=0)
-    predict = jax.jit(task.make_predict_fn())
+    _predict = jax.jit(task.make_predict_fn())
+    predict = lambda st, b: _predict(st, shard(b))  # noqa: E731
 
     # reference monitors val strong loss, MIN mode, save_top_k=3 +
     # EarlyStopping(patience 10, min) (train_as_strong.py:48-61)
@@ -147,7 +153,7 @@ def main(argv=None):
         train_loader.set_epoch(epoch)
         for batch in train_loader:
             batch.pop("filenames")
-            state, metrics = step(state, batch)
+            state, metrics = step(state, shard(batch))
         val_loss, f1 = evaluate_val_as_strong(
             predict, state, MixedBatchLoader([val_ds], [32],
                                              shuffle=False),

@@ -216,8 +216,14 @@ def main(argv=None):
                                     if args.distill_ckpt else 0.0))
     task = SEDTask(enc_mod, cfg, teacher_fn=teacher_fn)
     state = task.init_state(jax.random.PRNGKey(0), enc_params)
+    # data-parallel over all local devices (reference: DDP SED
+    # finetune; here replicated state + sharded global batches)
+    from audiossl_tpu.parallel.mesh import downstream_spmd
+
+    mesh, state, shard = downstream_spmd(state)
     step = jax.jit(task.make_train_step(), donate_argnums=0)
-    predict = jax.jit(task.make_predict_fn())
+    _predict = jax.jit(task.make_predict_fn())
+    predict = lambda st, b: _predict(st, shard(b))  # noqa: E731
 
     def eval_loader(ds, bs=32):
         loader = MixedBatchLoader([ds], [bs], shuffle=False)
@@ -230,7 +236,7 @@ def main(argv=None):
         train_loader.set_epoch(epoch)
         for batch in train_loader:
             fn = batch.pop("filenames")
-            state, metrics = step(state, batch)
+            state, metrics = step(state, shard(batch))
         f1, weak_f1 = evaluate_val(task, predict, state,
                                    eval_loader(synth_val),
                                    eval_loader(weak_val),

@@ -105,13 +105,19 @@ def main(argv=None):
     )
     task = FinetuneTask(enc, cfg, embed_dim)
     state = task.init_state(jax.random.PRNGKey(0), params)
+    # data-parallel over all local devices (reference: Lightning DDP
+    # multi-GPU finetune, sync-BN; here: replicated state + sharded
+    # global batches under one jitted SPMD step)
+    from audiossl_tpu.parallel.mesh import downstream_spmd
+
+    mesh, state, shard = downstream_spmd(state)
     step = jax.jit(task.make_train_step(), donate_argnums=0)
     evaluate = jax.jit(task.make_eval_fn())
 
     def eval_split(state, split):
         m = Metric("mAP" if info.multi_label else "ACC")
         for batch in make_loader(split, False):
-            logits = np.asarray(evaluate(state, batch))
+            logits = np.asarray(evaluate(state, shard(batch)))
             if info.multi_label:
                 logits = 1.0 / (1.0 + np.exp(-logits))
             m.update(logits, batch["label"])
@@ -130,7 +136,7 @@ def main(argv=None):
     for epoch in range(args.max_epochs):
         train_loader.set_epoch(epoch)
         for batch in train_loader:
-            state, metrics = step(state, batch)
+            state, metrics = step(state, shard(batch))
         v = eval_split(state, "valid")
         print(f"epoch {epoch}: val={v:.4f} "
               f"loss={float(metrics['loss']):.4f}", flush=True)

@@ -128,6 +128,15 @@ def main(argv=None):
                                        crop_len_s=args.train_len,
                                        n_blocks=args.n_last_blocks,
                                        chunk_len_s=args.chunk_len_s)
+    # data-parallel extraction over all local devices (the reference
+    # extracts per-rank under DDP, downstream/train_freeze.py:91)
+    from audiossl_tpu.parallel.mesh import data_mesh, maybe_shard_batch
+
+    mesh = data_mesh()
+    if mesh.shape["data"] > 1:
+        _base_extract = extract
+        extract = lambda wav, valid: _base_extract(  # noqa: E731
+            *maybe_shard_batch(mesh, (wav, valid)))
 
     vals, tests = [], []
     for fold in range(info.num_folds):

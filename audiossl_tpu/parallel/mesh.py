@@ -99,3 +99,33 @@ def replicate_tree(mesh: Mesh, tree):
 def global_batch_size(per_device: int, mesh: Mesh, axis_name: str = "data"
                       ) -> int:
     return per_device * mesh.shape[axis_name]
+
+
+def maybe_shard_batch(mesh: Mesh, tree, axis_name: str = "data"):
+    """shard_batch when every array leaf's leading axis divides the
+    mesh axis; otherwise return the tree unchanged (replicated inputs
+    are correct under jit-SPMD, just not distributed — the ragged final
+    eval batch takes this path)."""
+    n = mesh.shape[axis_name]
+    ok = all(getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0
+             for x in jax.tree.leaves(tree))
+    return shard_batch_multiprocess(mesh, tree, axis_name) if ok else tree
+
+
+def downstream_spmd(state):
+    """Data-parallel context for the downstream drivers (the SPMD
+    equivalent of the reference's multi-GPU Lightning DDP finetuning,
+    e.g. AudioSet finetune at batch 512 over 8 GPUs with
+    sync_batchnorm — reference downstream/train_finetune.py:125).
+
+    -> (mesh, state, shard_fn). With one device everything is a
+    passthrough; with N devices the train state is replicated and
+    shard_fn shards global batches over the data axis — gradient
+    means, BatchNorm statistics and metric reductions become global
+    reductions inserted by XLA, reproducing DDP+sync-BN semantics
+    with no code change in the task."""
+    mesh = data_mesh()
+    if mesh.shape["data"] == 1:
+        return mesh, state, lambda b: b
+    state = replicate_tree(mesh, state)
+    return mesh, state, lambda b: maybe_shard_batch(mesh, b)

@@ -177,3 +177,53 @@ def test_zero1_optimizer_sharding_matches_replicated(tmp_path):
                if hasattr(x, "sharding") and
                not x.sharding.is_fully_replicated]
     assert sharded, "no optimizer-state leaf ended up sharded"
+
+
+def test_downstream_spmd_matches_single_device():
+    """downstream_spmd (replicated state + sharded global batches) must
+    produce the same finetune trajectory as the unsharded path and must
+    actually distribute the batch over the 8-device mesh."""
+    from audiossl_tpu.downstream.finetune import (
+        FinetuneConfig,
+        FinetuneTask,
+    )
+    from audiossl_tpu.models.atst import ast_tiny
+    from audiossl_tpu.parallel.mesh import downstream_spmd
+
+    enc = ast_tiny(spec_w=1001)
+    params = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 1001)),
+                      length=jnp.asarray([1001]),
+                      deterministic=True)["params"]
+    cfg = FinetuneConfig(learning_rate=1e-2, max_epochs=1,
+                         steps_per_epoch=4, warmup_steps=0,
+                         multi_label=False, num_labels=5, n_blocks=2,
+                         crop_len_s=1.0, mixup=False, specaug=False,
+                         rrc=False)
+    task = FinetuneTask(enc, cfg, enc.embed_dim * 2 * 2)
+    rng = np.random.RandomState(0)
+    batch = {
+        "wav": jnp.asarray(rng.randn(8, 16000).astype(np.float32) * 0.1),
+        "valid": jnp.full((8,), 16000, jnp.int32),
+        "label": jnp.asarray(rng.randint(0, 5, 8)),
+    }
+
+    def run(shard_it):
+        # fresh param buffers per run: the donated step deletes them
+        state = task.init_state(jax.random.PRNGKey(1),
+                                jax.tree.map(jnp.array, params))
+        step = jax.jit(task.make_train_step(), donate_argnums=0)
+        if shard_it:
+            mesh, state, shard = downstream_spmd(state)
+            assert mesh.shape["data"] == 8
+        else:
+            shard = lambda b: b  # noqa: E731
+        for _ in range(2):
+            state, metrics = step(state, shard(batch))
+        return jax.device_get(state), shard(batch)
+
+    s_plain, _ = run(False)
+    s_spmd, sharded_batch = run(True)
+    assert not sharded_batch["wav"].sharding.is_fully_replicated
+    for la, lb in zip(jax.tree.leaves(s_plain), jax.tree.leaves(s_spmd)):
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                   atol=2e-5)
