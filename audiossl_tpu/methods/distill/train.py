@@ -104,6 +104,9 @@ def main(argv=None):
     method = DistillMethod(cfg, teacher_params, t_head_params,
                            t_head_stats)
     state = method.init_state(jax.random.PRNGKey(0), student_params)
+    from audiossl_tpu.parallel.mesh import downstream_spmd
+
+    mesh, state, shard = downstream_spmd(state)
     step = jax.jit(method.make_step(), donate_argnums=0)
 
     mgr = CheckpointManager(f"{args.save_path}/ckpt") if args.save_path \
@@ -114,7 +117,7 @@ def main(argv=None):
                              pad_samples=cfg.out_samples, shuffle=True,
                              epoch=epoch, weights=weights)
         for batch in loader:
-            state, metrics = step(state, batch)
+            state, metrics = step(state, shard(batch))
             gstep += 1
             if gstep % 50 == 0:
                 print(f"step {gstep} " + " ".join(

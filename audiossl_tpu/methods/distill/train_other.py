@@ -73,6 +73,9 @@ def main(argv=None):
     method = DistillMethod(cfg, teacher_params, t_head_params,
                            t_head_stats)
     state = method.init_state(jax.random.PRNGKey(0), student_params)
+    from audiossl_tpu.parallel.mesh import downstream_spmd
+
+    mesh, state, shard = downstream_spmd(state)
     step = jax.jit(method.make_step(), donate_argnums=0)
     evaluate = jax.jit(method.make_eval_fn())
 
@@ -81,7 +84,7 @@ def main(argv=None):
         loader = BatchLoader(ds, args.batch_size, pad_samples=pad,
                              shuffle=False, drop_last=False)
         for batch in loader:
-            logits = np.asarray(evaluate(state, batch))
+            logits = np.asarray(evaluate(state, shard(batch)))
             if info.multi_label:
                 logits = 1.0 / (1.0 + np.exp(-logits))
             m.update(logits, batch["label"])
@@ -94,7 +97,7 @@ def main(argv=None):
         loader = BatchLoader(train_ds, args.batch_size, pad_samples=pad,
                              shuffle=True, epoch=epoch)
         for batch in loader:
-            state, metrics = step(state, batch)
+            state, metrics = step(state, shard(batch))
             gstep += 1
         last_val = eval_split(state, val_ds)
         print(f"epoch {epoch}: val={last_val:.4f} " + " ".join(
