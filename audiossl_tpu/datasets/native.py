@@ -182,9 +182,12 @@ class NativeBatchLoader:
                 yield item
         finally:
             stop.set()
-            # unblock a producer waiting on a full queue
+            # unblock a producer waiting on a full queue, then wait for
+            # it to actually finish (an abandoned worker would keep a
+            # multi-threaded read running into the next epoch)
             while not q.empty():
                 try:
                     q.get_nowait()
                 except queue.Empty:
                     break
+            t.join(timeout=30)

@@ -78,6 +78,12 @@ def load_model(ckpt_path: str, arch: Optional[str] = None,
             arch = "base"
     from audiossl_tpu.models.atst import frame_ast_tiny
 
+    if quant not in ("none", "int8"):
+        raise ValueError(f"unknown quant mode {quant!r} "
+                         "(supported: 'none', 'int8')")
+    if quant != "none" and not fused:
+        raise ValueError("quant requires fused=True (the quantized "
+                         "matmuls live in the fused block kernels)")
     kw = {}
     if fused:
         kw = dict(fused_attention=True, fused_infer=True,

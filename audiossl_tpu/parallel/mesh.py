@@ -101,14 +101,28 @@ def global_batch_size(per_device: int, mesh: Mesh, axis_name: str = "data"
     return per_device * mesh.shape[axis_name]
 
 
+_warned_unsharded = False
+
+
 def maybe_shard_batch(mesh: Mesh, tree, axis_name: str = "data"):
     """shard_batch when every array leaf's leading axis divides the
     mesh axis; otherwise return the tree unchanged (replicated inputs
     are correct under jit-SPMD, just not distributed — the ragged final
-    eval batch takes this path)."""
+    eval batch takes this path). The first fallback on a >1-device
+    mesh prints a warning so a systematically non-divisible batch size
+    (which would silently serialize the whole run) is visible."""
+    global _warned_unsharded
     n = mesh.shape[axis_name]
     ok = all(getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0
              for x in jax.tree.leaves(tree))
+    if not ok and n > 1 and not _warned_unsharded:
+        _warned_unsharded = True
+        shapes = [getattr(x, "shape", None)
+                  for x in jax.tree.leaves(tree)]
+        print(f"[parallel] batch leading dims {shapes} not divisible "
+              f"by {n} devices - running this (and similar) batches "
+              "REPLICATED; pick a batch size divisible by the device "
+              "count for data-parallel speedup", flush=True)
     return shard_batch_multiprocess(mesh, tree, axis_name) if ok else tree
 
 
@@ -123,8 +137,16 @@ def downstream_spmd(state):
     shard_fn shards global batches over the data axis — gradient
     means, BatchNorm statistics and metric reductions become global
     reductions inserted by XLA, reproducing DDP+sync-BN semantics
-    with no code change in the task."""
-    mesh = data_mesh()
+    with no code change in the task.
+
+    Single-process only: the downstream loaders read FULL global
+    batches, so under jax.distributed (process_count > 1) this returns
+    a passthrough — multi-host downstream runs would need per-host
+    sharded loaders like the pretraining runner's."""
+    if jax.process_count() > 1:
+        mesh = data_mesh(devices=jax.local_devices()[:1])
+        return mesh, state, lambda b: b
+    mesh = data_mesh(devices=jax.local_devices())
     if mesh.shape["data"] == 1:
         return mesh, state, lambda b: b
     state = replicate_tree(mesh, state)

@@ -125,6 +125,21 @@ def run_pretraining(method, dataset, *, batch_size_per_device: int,
 
     profiling = False
     _save_thread = [None]
+    _save_error = [None]
+
+    def _bg_save(step_, host_state_):
+        try:
+            mgr.save(step_, host_state_)
+        except BaseException as e:  # surfaced at the next join point
+            _save_error[0] = e
+
+    def _join_save():
+        if _save_thread[0] is not None:
+            _save_thread[0].join()
+            _save_thread[0] = None
+        if _save_error[0] is not None:
+            raise _save_error[0]
+
     while not done:
         loader = make_loader(epoch)
         for batch in loader:
@@ -158,19 +173,16 @@ def run_pretraining(method, dataset, *, batch_size_per_device: int,
                 # WRITE then runs on a background thread so serialization
                 # and disk IO overlap subsequent steps.
                 host_state = jax.device_get(state)
-                if _save_thread[0] is not None:
-                    _save_thread[0].join()
-                th = threading.Thread(
-                    target=mgr.save, args=(step, host_state),
-                    daemon=True)
+                _join_save()  # also raises a failed previous save
+                th = threading.Thread(target=_bg_save,
+                                      args=(step, host_state))
                 th.start()
                 _save_thread[0] = th
             if step >= max_steps:
                 done = True
                 break
         epoch += 1
-    if _save_thread[0] is not None:
-        _save_thread[0].join()
+    _join_save()
     if mgr is not None:
         mgr.save(step, jax.device_get(state), force=True)
         mgr.wait()

@@ -43,6 +43,8 @@ _backend_up = threading.Event()
 
 
 def _watchdog():
+    if _INIT_TIMEOUT_S <= 0:  # 0 disables the watchdog
+        return
     if not _backend_up.wait(_INIT_TIMEOUT_S):
         print(f"bench: backend init did not complete within "
               f"{_INIT_TIMEOUT_S}s (TPU tunnel down?) - aborting",

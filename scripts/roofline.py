@@ -26,7 +26,7 @@ ARCHS = {
 }
 
 
-def encoder_flops_per_view(B, N, C, depth, heads):
+def encoder_flops_per_view(B, N, C, depth):
     """Forward matmul FLOPs for one encoder pass over [B, N, C]."""
     per_layer = (
         2 * B * N * C * 3 * C        # qkv
@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--peak-tflops", type=float, default=197.0)
     ap.add_argument("--hbm-gbps", type=float, default=390.0)
     ap.add_argument("--int8-teacher", action="store_true")
+    ap.add_argument("--mel-passes", type=int, default=1,
+                    help="mel computations per step (frame recipe: 1 - "
+                         "both views augment the SAME crop's mel; clip "
+                         "recipe: 2 crops -> 2)")
     ap.add_argument("--baseline", type=float, default=144.0,
                     help="reference clips/s/GPU (BASELINE.md)")
     args = ap.parse_args()
@@ -65,7 +69,7 @@ def main():
     N = ((n_tok + 127) // 128) * 128  # MXU tile padding
     V = args.views
 
-    enc = encoder_flops_per_view(B, N, C, depth, heads)
+    enc = encoder_flops_per_view(B, N, C, depth)
     head = head_flops_per_view(B, N, C)
     t_head = head_flops_per_view(B, N, C, predictor=False)
 
@@ -76,15 +80,20 @@ def main():
     t_teacher = teacher / peak / (2.0 if args.int8_teacher else 1.0)
 
     # memory-bound tail (bytes): optimizer+EMA one fused pass ->
-    # read p,g,mu,nu,t + write p,mu,nu,t (f32 masters)
-    n_params = 4 * depth * C * C * 4 + depth * C * (3 + 1 + 8) \
-        + C * 4096 + 4096 * 256 + 256 * 4096 + 4096 * 256
+    # read p,g,mu,nu,t + write p,mu,nu,t (f32 masters, ~9 accesses).
+    # per layer: qkv 3C^2 + proj C^2 + fc1 4C^2 + fc2 4C^2 = 12C^2
+    # (+ ~10C biases/LN); plus pos/patch embeds and the BYOL heads.
+    n_params = (depth * (12 * C * C + 10 * C)
+                + (N + 1) * C + 256 * C            # pos + patch embed
+                + C * 4096 + 4096 * 256            # projector
+                + 256 * 4096 + 4096 * 256)         # predictor
     opt_bytes = n_params * 4 * 9
     t_opt = opt_bytes / (args.hbm_gbps * 1e9)
-    # mel front-end: framed matmul [B*T,1024]x[1024,1026] per view-mel
+    # mel front-end: framed matmul [B*T,1024]x[1024,1026] per mel pass
     mel_flops = 2 * B * (frames * 4) * 1024 * 1026 / 4  # hop 160 ~ T/4 rows
-    t_mel = mel_flops / peak + (B * frames * 64 * 4 * 6) / (
-        args.hbm_gbps * 1e9)
+    t_mel = args.mel_passes * (
+        mel_flops / peak + (B * frames * 64 * 4 * 6) / (
+            args.hbm_gbps * 1e9))
 
     t_total = t_student + t_teacher + t_opt + t_mel
     print(f"arch={args.arch} C={C} depth={depth} B={B} "
