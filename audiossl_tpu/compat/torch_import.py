@@ -156,6 +156,48 @@ def linear_head_from_torch(sd: Mapping[str, object]):
     return params, stats
 
 
+def attention_head_from_torch(sd: Mapping[str, object]):
+    """Reference modules/head.py AttentionHead state_dict ->
+    (params, stats) for models/heads.AttentionHead: pre_linear + one
+    Block + BN(affine=False) + linear + cls_token."""
+    g = {k: _np(v) for k, v in sd.items()}
+
+    def block(prefix):
+        b = prefix + "."
+        blk = {
+            "norm1": {"scale": g[b + "norm1.weight"],
+                      "bias": g[b + "norm1.bias"]},
+            "norm2": {"scale": g[b + "norm2.weight"],
+                      "bias": g[b + "norm2.bias"]},
+            "attn": {
+                "qkv": {"kernel": g[b + "attn.qkv.weight"].T},
+                "proj": {"kernel": g[b + "attn.proj.weight"].T,
+                         "bias": g[b + "attn.proj.bias"]},
+            },
+            "mlp": {
+                "fc1": {"kernel": g[b + "mlp.fc1.weight"].T,
+                        "bias": g[b + "mlp.fc1.bias"]},
+                "fc2": {"kernel": g[b + "mlp.fc2.weight"].T,
+                        "bias": g[b + "mlp.fc2.bias"]},
+            },
+        }
+        if b + "attn.qkv.bias" in g:
+            blk["attn"]["qkv"]["bias"] = g[b + "attn.qkv.bias"]
+        return blk
+
+    params = {
+        "pre_linear": {"kernel": g["pre_linear.weight"].T,
+                       "bias": g["pre_linear.bias"]},
+        "cls_token": g["cls_token"],
+        "att": block("att"),
+        "linear": {"kernel": g["linear.weight"].T,
+                   "bias": g["linear.bias"]},
+    }
+    stats = {"norm": {"mean": g["norm.running_mean"],
+                      "var": g["norm.running_var"]}}
+    return params, stats
+
+
 def load_pretrain_checkpoint(path: str, which: str = "teacher",
                              depth: int = 12):
     """Load a reference pretraining .ckpt (Lightning) and extract the

@@ -145,3 +145,29 @@ def test_distill_teacher_ckpt_parsing(tmp_path):
     hp, hs = linear_head_from_torch(subtree(sd2, "head."))
     assert hp["linear"]["kernel"].shape == (768, 527)
     assert "norm" in hs
+
+
+def test_attention_head_parity():
+    """AttentionHead forward vs the reference module (pre-linear ->
+    CLS-prepended Block -> BN(affine=False) -> linear)."""
+    from audiossl.modules.head import AttentionHead as TorchAttentionHead
+
+    from audiossl_tpu.compat.torch_import import attention_head_from_torch
+    from audiossl_tpu.models.heads import AttentionHead
+
+    torch.manual_seed(4)
+    ref = TorchAttentionHead(dim=96, att_dim=64, num_heads=2,
+                             num_labels=7)
+    ref.train()
+    for _ in range(3):  # non-trivial BN stats
+        ref(torch.randn(8, 5, 96))
+    ref.eval()
+    params, stats = attention_head_from_torch(ref.state_dict())
+    x = np.random.RandomState(5).randn(3, 5, 96).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    head = AttentionHead(att_dim=64, num_heads=2, num_labels=7)
+    got = np.asarray(head.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x),
+        train=False))
+    assert np.abs(got - want).max() < TOL
