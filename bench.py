@@ -24,7 +24,9 @@ Prints ONE JSON line:
 ``--clip`` additionally prints a second JSON line with the ATST-Clip
 small pretraining throughput (the number README.md quotes), measured
 the same way (driver consumers parse line 1; --clip is opt-in so the
-driver contract is unchanged).
+driver contract is unchanged). ``--embed`` / ``--embed-int8`` likewise
+opt into serving-path lines: scene-embedding extraction throughput
+through the public API on the fused inference kernels (bf16 / int8).
 """
 from __future__ import annotations
 
@@ -112,6 +114,49 @@ def bench_clip_small():
     }))
 
 
+def bench_embed(quant="none"):
+    """Serving path: scene-embedding extraction throughput through the
+    public API (``embedding.get_scene_embedding``) on the whole-block
+    resident-weight inference kernels — the bulk-extraction workload
+    (reference embedding.py:41-79 runs it clip-by-clip on GPU).
+    quant="int8" additionally measures the int8-MXU variant."""
+    from audiossl_tpu import embedding as E
+    from audiossl_tpu.models.atst import frame_ast_base
+
+    enc = frame_ast_base(spec_w=E.CHUNK_FRAMES, fused_attention=True,
+                         fused_infer=True, infer_quant=quant,
+                         dtype=jnp.bfloat16)
+    params = enc.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 64, E.CHUNK_FRAMES)),
+                      length=jnp.asarray([E.CHUNK_FRAMES]),
+                      deterministic=True)["params"]
+    model = E.EmbeddingModel(encoder=enc, params=params)
+
+    B = 128
+    rng = np.random.RandomState(0)
+    wav = rng.randn(B, 160000).astype(np.float32) * 0.1
+    emb = E.get_scene_embedding(wav, model)
+    float(jnp.sum(emb))
+    _backend_up.set()
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(8):
+            emb = E.get_scene_embedding(wav, model)
+        assert jnp.isfinite(float(jnp.sum(emb)))
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    cps = B * 8 / best_dt
+    metric = "atstframe_base_scene_embedding_clips_per_sec_per_chip"
+    if quant != "none":
+        metric += f"_{quant}"
+    print(json.dumps({
+        "metric": metric,
+        "value": round(cps, 2),
+        "unit": "clips/s/chip",
+        "vs_baseline": None,
+    }))
+
+
 def main():
     from audiossl_tpu.methods.atstframe.method import (
         FramePretrainConfig,
@@ -164,3 +209,7 @@ if __name__ == "__main__":
     main()
     if "--clip" in sys.argv[1:]:
         bench_clip_small()
+    if "--embed" in sys.argv[1:]:
+        bench_embed()
+    if "--embed-int8" in sys.argv[1:]:
+        bench_embed(quant="int8")
