@@ -183,7 +183,9 @@ def main():
     method = FrameMethod(cfg)
     step = jax.jit(method.make_step(), donate_argnums=0)
 
-    B = 96  # per-chip batch (v5e sweep: 64 -> 268, 96 -> 292, 128 -> 250 c/s)
+    # per-chip batch (v5e sweep: 64 -> 268, 96 -> 292, 128 -> 250 c/s);
+    # AUDIOSSL_BENCH_BATCH overrides for sweeps (scripts/run_queued_experiments.sh)
+    B = int(os.environ.get("AUDIOSSL_BENCH_BATCH", "96"))
     rng = np.random.RandomState(0)
     wav = jnp.asarray(rng.randn(B, cfg.out_samples).astype(np.float32) * 0.1)
     valid = jnp.full((B,), cfg.out_samples, jnp.int32)
