@@ -94,7 +94,9 @@ class DualModel(nn.Module):
 
     def setup(self):
         c = self.cfg
-        dims = {"small": (384, 12, 6), "base": (768, 12, 12)}[c.arch]
+        # tiny = CI smoke tier (not in the reference), same as ast_tiny
+        dims = {"tiny": (64, 2, 2), "small": (384, 12, 6),
+                "base": (768, 12, 12)}[c.arch]
         d, depth, heads = dims
         kw = dict(embed_dim=d, depth=depth, num_heads=heads,
                   spec_h=c.mel.n_mels, spec_w=c.out_frames,

@@ -70,3 +70,38 @@ def test_train_freeze_driver_orbax(tmp_path):
     ])
     assert res["metric"] == "mAP"
     assert 0.0 <= res["test"] <= 1.0
+
+
+@pytest.mark.slow
+def test_mae_cli(tmp_path):
+    from audiossl_tpu.methods.mae.train import main
+
+    data = str(tmp_path / "data")
+    write_synthetic_pack(data, "train", 16, min_s=0.6, max_s=1.0)
+    main([
+        "--data_path", data, "--save_path", str(tmp_path / "exp"),
+        "--batch_size_per_device", "2", "--max_steps", "2",
+        "--warmup_steps", "1", "--anchor_len", "0.5",
+        "--embed_dim", "32", "--depth", "2", "--num_heads", "2",
+        "--dec_embed_dim", "32", "--dec_depth", "1",
+        "--dec_num_heads", "2", "--clip_len", "1.0", "--subset", "16",
+        "--ckpt_interval", "2",
+    ])
+    assert os.path.exists(str(tmp_path / "exp" / "ckpt"))
+
+
+@pytest.mark.slow
+def test_dual_cli(tmp_path):
+    from audiossl_tpu.methods.dual.train import main
+
+    data = str(tmp_path / "data")
+    write_synthetic_pack(data, "train", 16, min_s=0.6, max_s=1.0)
+    main([
+        "--data_path", data, "--save_path", str(tmp_path / "exp"),
+        "--arch", "tiny", "--batch_size_per_device", "2",
+        "--max_steps", "2", "--warmup_steps", "1",
+        "--anchor_len", "0.5", "--expander_dim", "64",
+        "--out_dim", "16", "--clip_len", "1.0", "--subset", "16",
+        "--ckpt_interval", "2",
+    ])
+    assert os.path.exists(str(tmp_path / "exp" / "ckpt"))
