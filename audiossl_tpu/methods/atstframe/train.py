@@ -76,6 +76,10 @@ def build_parser():
 
 
 def main(argv=None):
+    # pod-slice bootstrap (no-op single-host; AUDIOSSL_MULTIHOST=1
+    # or JAX_COORDINATOR_ADDRESS opt in) - before any backend use
+    from audiossl_tpu.parallel.mesh import init_multihost
+    init_multihost()
     args = build_parser().parse_args(argv)
     n_dev = args.n_devices or len(jax.devices())
     lr = args.learning_rate * n_dev * args.batch_size_per_device / 256.0

@@ -83,6 +83,10 @@ def load_teacher_student(teacher_ckpt_path: str,
 
 
 def main(argv=None):
+    # pod-slice bootstrap (no-op single-host; AUDIOSSL_MULTIHOST=1
+    # or JAX_COORDINATOR_ADDRESS opt in) - before any backend use
+    from audiossl_tpu.parallel.mesh import init_multihost
+    init_multihost()
     args = build_parser().parse_args(argv)
 
     teacher_params, t_head_params, t_head_stats, student_params = \

@@ -45,6 +45,10 @@ def build_parser():
 
 
 def main(argv=None):
+    # pod-slice bootstrap (no-op single-host; AUDIOSSL_MULTIHOST=1
+    # or JAX_COORDINATOR_ADDRESS opt in) - before any backend use
+    from audiossl_tpu.parallel.mesh import init_multihost
+    init_multihost()
     args = build_parser().parse_args(argv)
     from audiossl_tpu.methods.distill.train import load_teacher_student
 

@@ -23,6 +23,36 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_multihost(force: bool = False) -> bool:
+    """Initialize the JAX distributed runtime for pod-slice runs.
+
+    Must run before any other JAX API touches the backend. On Cloud
+    TPU pod slices ``jax.distributed.initialize()`` auto-discovers the
+    coordinator and process ranks from the TPU metadata; elsewhere the
+    standard env vars (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID) configure it explicitly.
+
+    No-op (returns False) unless ``force`` or one of those signals is
+    present, so single-chip runs and CPU tests never pay the
+    coordinator handshake. Idempotent: a second call is a no-op.
+
+    This is the missing bootstrap for the per-host input sharding
+    machinery (``shard_batch_multiprocess``,
+    ``BatchLoader(process_index=)``) — without it
+    ``jax.process_count()`` is always 1.
+    """
+    import os
+
+    if jax.distributed.is_initialized():  # idempotent
+        return True
+    want = force or os.environ.get("JAX_COORDINATOR_ADDRESS") \
+        or os.environ.get("AUDIOSSL_MULTIHOST", "") not in ("", "0")
+    if not want:
+        return False
+    jax.distributed.initialize()
+    return True
+
+
 def data_mesh(n_devices: Optional[int] = None, axis_name: str = "data",
               devices: Optional[Sequence] = None) -> Mesh:
     """1-D data-parallel mesh over all (or the first n) devices."""

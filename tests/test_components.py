@@ -152,3 +152,14 @@ def test_dataset2ards_synth(tmp_path):
 
     pr = PackedReader(str(tmp_path / "train.ards"))
     assert len(pr) == 5
+
+
+def test_init_multihost_noop_by_default(monkeypatch):
+    """Without a coordinator signal the pod bootstrap must be a no-op
+    (single-chip runs and CPU tests never pay the handshake)."""
+    from audiossl_tpu.parallel.mesh import init_multihost
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("AUDIOSSL_MULTIHOST", raising=False)
+    assert init_multihost() is False
+    monkeypatch.setenv("AUDIOSSL_MULTIHOST", "0")
+    assert init_multihost() is False
