@@ -15,9 +15,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-if "jax" in sys.modules:
-    import jax
+# Import jax and pin the platform via config unconditionally: when the
+# axon plugin is registered (sitecustomize, before any conftest) a
+# black-holing tunnel hangs backend init even under JAX_PLATFORMS=cpu —
+# the config update is what reliably wins (docs/NEXT.md, memory
+# axon-tunnel-blackhole). Backends initialize lazily, so doing this
+# before any device use is sufficient.
+import jax  # noqa: E402
 
-    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
