@@ -128,7 +128,11 @@ def convert_ssast_checkpoint(sd, fshape=128, tshape=2,
     cfg = ViTConfig(embed_dim=D, depth=depth,
                     num_heads=heads_for_dim(D),
                     patch_size=(fshape, tshape), num_prefix=n_prefix,
-                    max_patches=f_dim * t_dim)
+                    max_patches=f_dim * t_dim,
+                    # SSAST grids are freq-major (f_dim rows x t_dim
+                    # time cols); inputs shorter than input_tdim must
+                    # slice pos-embed per COLUMN, not leading-flat
+                    pos_grid=(f_dim, t_dim))
     return params, cfg
 
 
@@ -169,7 +173,12 @@ class SSASTAdapter:
     def token_count(self, n_samples: int) -> int:
         frames = 1 + (n_samples - 400) // 160
         if self.encoder.variant == "frame":
-            return ((frames - 2) // 2 + 1 + 1) // 2
+            # patch conv (128,2) stride 2 -> N tokens, then
+            # AvgPool2d((2,1), padding=(1,0)) -> N//2 + 1 rows
+            # (matches SSASTEncoder's n_out for BOTH parities of N;
+            # (N+1)//2 was wrong for even N)
+            n = (frames - 2) // 2 + 1
+            return n // 2 + 1
         return ((frames - 16) // 16 + 1)
 
     def frame_embeddings(self, params, wav, valid, train=False,

@@ -59,6 +59,12 @@ class ViTConfig:
     num_prefix: int = 1
     # total pos-embed length = num_prefix + max_patches
     max_patches: int = 512
+    # (rows, cols) of the pos-embed patch grid when the VARIABLE input
+    # axis is the minor (W/time) one — e.g. SSAST-patch's freq-major
+    # 8 x T' grid. None = variable axis is the major one (AudioMAE /
+    # M2D time-major grids, SSAST-frame's single row), where the plain
+    # leading slice is already correct.
+    pos_grid: Optional[Tuple[int, int]] = None
     ln_eps: float = 1e-6
     dtype: str = "float32"
 
@@ -69,8 +75,12 @@ class TimmViT(nn.Module):
     Shorter inputs than ``max_patches`` use the leading slice of the
     position embedding (matches the reference's
     ``pos_embed[:, 1:T+1]`` slicing, audioMAE_module.py:48 — correct
-    because all three families flatten patches H-major and vary only
-    in H)."""
+    when the variable axis is the H-major one: AudioMAE/M2D time-major
+    grids and SSAST-frame's single-row grid). When the variable axis
+    is the minor one (SSAST-patch's freq-major 8 x T' grid) set
+    ``cfg.pos_grid=(rows, cols)`` and the slice is taken per grid
+    column instead (the reference torch module simply shape-errors on
+    such inputs; grid slicing is the consistent extension)."""
     cfg: ViTConfig = ViTConfig()
 
     @nn.compact
@@ -88,7 +98,17 @@ class TimmViT(nn.Module):
         prefix = self.param(
             "prefix_tokens", nn.initializers.zeros,
             (c.num_prefix, c.embed_dim))
-        tok = tok + pos[c.num_prefix: c.num_prefix + N].astype(dtype)
+        if N != c.max_patches and c.pos_grid is not None:
+            rows, cols0 = c.pos_grid
+            if rows * cols0 != c.max_patches or N % rows:
+                raise ValueError(
+                    f"pos_grid {c.pos_grid} inconsistent with "
+                    f"max_patches={c.max_patches} / N={N}")
+            ppatch = pos[c.num_prefix:].reshape(rows, cols0, c.embed_dim)
+            ppatch = ppatch[:, : N // rows].reshape(N, c.embed_dim)
+        else:
+            ppatch = pos[c.num_prefix: c.num_prefix + N]
+        tok = tok + ppatch.astype(dtype)
         lead = (prefix + pos[: c.num_prefix]).astype(dtype)
         tok = jnp.concatenate(
             [jnp.broadcast_to(lead[None], (B, c.num_prefix, c.embed_dim)),

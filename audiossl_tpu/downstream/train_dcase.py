@@ -204,7 +204,8 @@ def main(argv=None):
     if args.distill_ckpt:
         teacher_fn = build_sed_teacher(
             args.distill_ckpt, args.distill_arch,
-            args.distill_pretrained_ckpt_path, info.num_labels)
+            args.distill_pretrained_ckpt_path or args.pretrained_ckpt_path,
+            info.num_labels)
     cfg = SEDConfig(num_labels=info.num_labels,
                     learning_rate=args.learning_rate,
                     max_epochs=args.max_epochs,

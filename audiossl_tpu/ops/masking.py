@@ -70,6 +70,17 @@ def _span_count(key, ratio, span, min_masks, valid):
     return jnp.maximum(min_masks, jnp.floor(x + u).astype(jnp.int32))
 
 
+def _start_range(valid, min_len, n_spans, num_tokens):
+    """fairseq's start-sampling range size ``sz - min_len`` with its
+    short-sequence fallback (compute_mask_indices: ``if sz - min_len <=
+    num_mask: min_len = sz - num_mask - 1`` -> range = num_mask + 1),
+    so the K distinct starts always fit. Clamped to [1, num_tokens]
+    (the traced buffer size; fairseq then clips indices at sz)."""
+    rng = valid - min_len
+    rng = jnp.where(rng <= n_spans, n_spans + 1, rng)
+    return jnp.clip(rng, 1, num_tokens)
+
+
 def _span_starts(key, batch, num_tokens, K, hi):
     """K per-sample start positions sampled WITHOUT replacement from
     [0, hi) (np.random.choice replace=False) via per-sample top-K of
@@ -86,18 +97,23 @@ def block_token_mask(key, batch: int, num_tokens: int, ratio: float,
     """Fairseq "static" block masking, distribution-exact: fixed span
     length, overlapping spans allowed, randomized span-count rounding,
     without-replacement starts in [0, valid - span) (np.random.choice
-    (sz - span)), honoring per-sample valid lengths (fairseq applies
-    the padding mask before sampling)."""
+    (sz - span)) with fairseq's short-sequence fallback widening the
+    range to num_mask + 1 when it can't fit the starts, honoring
+    per-sample valid lengths (fairseq applies the padding mask before
+    sampling) and clipping mask indices at valid."""
     valid = _valid_arr(valid, batch, num_tokens)
     # worst-case span slots: the randomized rounding can add one
     K = max(min_masks, int(ratio * num_tokens / span) + 1)
     k_round, k_starts = jax.random.split(key)
     n_spans = _span_count(k_round, ratio, span, min_masks, valid)
-    hi = jnp.maximum(1, valid - span)
+    hi = _start_range(valid, span, n_spans, num_tokens)
     starts = _span_starts(k_starts, batch, num_tokens, K, hi)
     active = jnp.arange(K)[None, :] < n_spans[:, None]
     lengths = jnp.where(active, span, 0).astype(jnp.int32)
-    return _span_mask(key, batch, num_tokens, K, (starts, lengths))
+    m = _span_mask(key, batch, num_tokens, K, (starts, lengths))
+    # fairseq clips mask_idc < sz — only reachable after the
+    # short-sequence fallback widened the start range past valid-span
+    return m & (jnp.arange(num_tokens)[None, :] < valid[:, None])
 
 
 def uniform_span_mask(key, batch: int, num_tokens: int, ratio: float,
@@ -118,7 +134,7 @@ def uniform_span_mask(key, batch: int, num_tokens: int, ratio: float,
     lengths = jax.random.randint(k_len, (batch, K), min_span,
                                  2 * span + 1)
     min_len = jnp.min(jnp.where(active, lengths, 2 * span + 1), axis=1)
-    hi = jnp.maximum(1, valid - min_len)
+    hi = _start_range(valid, min_len, n_spans, num_tokens)
     starts = _span_starts(k_starts, batch, num_tokens, K, hi)
     lengths = jnp.where(active, lengths, 0).astype(jnp.int32)
     m = _span_mask(key, batch, num_tokens, K, (starts, lengths))

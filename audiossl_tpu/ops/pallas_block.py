@@ -195,6 +195,11 @@ def _row(x):
     return jnp.asarray(x)[None, :]
 
 
+def _const(*idx):
+    """BlockSpec index map pinning a whole operand to one grid step."""
+    return lambda b: idx
+
+
 def quantize_weight_q8(w):
     """Per-output-channel symmetric int8 weight quantization (XLA
     level, once per step — the EMA teacher's weights change every
@@ -230,7 +235,7 @@ def attn_block_infer(x, valid, p, num_heads, eps=1e-6, dp=None,
     bqkv = (jnp.zeros((3 * C,), jnp.float32) if bqkv is None
             else bqkv.astype(jnp.float32))
     bproj = p["attn"]["proj"]["bias"].astype(jnp.float32)
-    const = lambda *idx: (lambda b: idx)  # noqa: E731
+    const = _const
     if quant == "int8":
         wqkv, sqkv = quantize_weight_q8(p["attn"]["qkv"]["kernel"])
         wproj, sproj = quantize_weight_q8(p["attn"]["proj"]["kernel"])
@@ -293,7 +298,7 @@ def mlp_block_infer(x, p, eps=1e-6, dp=None, quant=None,
     b1 = p["mlp"]["fc1"]["bias"].astype(jnp.float32)
     b2 = p["mlp"]["fc2"]["bias"].astype(jnp.float32)
     Hd = p["mlp"]["fc1"]["kernel"].shape[1]
-    const = lambda *idx: (lambda b: idx)  # noqa: E731
+    const = _const
     if quant == "int8":
         w1, s1 = quantize_weight_q8(p["mlp"]["fc1"]["kernel"])
         w2, s2 = quantize_weight_q8(p["mlp"]["fc2"]["kernel"])

@@ -47,6 +47,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from audiossl_tpu.ops.pallas_block import _const, _row  # shared helpers
+
 _INV_SQRT2 = 0.7071067811865476
 _INV_SQRT_2PI = 0.3989422804014327
 
@@ -162,25 +164,16 @@ def _bwd_kernel(x_ref, dy_ref, u_ref, dp_ref, ls_ref, lb_ref, w1_ref,
         dx_ref.dtype).reshape(mb, N, C)
 
 
-def _row(x):
-    return jnp.asarray(x)[None, :]
-
-
 def _pick_mb(B):
     """Samples per grid step (M = mb*N rows per dot). Measured on the
     v5e: batching samples to amortize MXU pipeline fill LOSES —
     end-to-end frame-step throughput was 329.7 clips/s at mb=1,
     slower at mb=2, and 313.9 at mb=4 (the bigger VMEM blocks for
     x/dy/u plus the f32 grad accumulators crowd out double-buffering).
-    Kept parametric so other chips can retune; v5e optimum is 1.
-    Must divide the batch (the grid is B // mb) - non-divisors fall
-    back to 1 rather than silently dropping trailing samples."""
-    mb = 1
-    return mb if B % mb == 0 else 1
-
-
-def _const(*idx):
-    return lambda b: idx
+    When retuning for another chip, pick a DIVISOR of the batch (the
+    grid is B // mb; a non-divisor would silently drop the trailing
+    B % mb samples)."""
+    return 1
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))

@@ -79,6 +79,7 @@ def test_audiomae_forward_parity():
     assert float(np.abs(np.asarray(out) - ref).max()) < 1e-3
 
 
+@pytest.mark.slow
 def test_audiomae_adapter_token_count():
     from audiossl_tpu.compat.audiomae import (
         AudioMAEAdapter,

@@ -393,3 +393,30 @@ def test_rrc_random_box_matches_torch_reference():
         # passes and ours is ~5e-5; no semantic difference
         np.testing.assert_allclose(np.asarray(got)[0], want[0],
                                    atol=2e-4)
+
+
+def test_block_mask_short_sequence_fallback_matches_fairseq():
+    """For short valid lengths (sz - span <= num_mask) fairseq widens
+    the start range to num_mask + 1 instead of collapsing every start
+    to 0; block_token_mask must reproduce that distribution (VERDICT
+    r3 review finding: the fallback was missing, so valid=6/span=5
+    pinned all spans at position 0)."""
+    import jax
+
+    # n=6, span=5: sz - span = 1 <= num_mask = 2 triggers the fallback
+    # (n=8 would NOT: 8-5=3 > 2)
+    n, ratio, span = 6, 0.65, 5
+    B = 2048
+    ours = np.asarray(
+        make_token_mask(jax.random.PRNGKey(1), B, n, ratio,
+                        mask_type="block", span=span))
+    rng = np.random.RandomState(1)
+    ref = np.stack([_fairseq_static_mask_np(rng, n, ratio, span)
+                    for _ in range(B)])
+    # without the fallback both spans start at 0 -> token 0 always
+    # masked (p=1.0) and token 5 never (p=0.0); fairseq draws starts
+    # from {0,1,2} giving p(token 0) ~ 2/3, p(token 5) ~ 2/3... = 1
+    p_ours = ours.mean(axis=0)
+    p_ref = ref.mean(axis=0)
+    assert np.abs(p_ours - p_ref).max() < 0.04, (p_ours, p_ref)
+    assert abs(ours.mean() - ref.mean()) < 0.02

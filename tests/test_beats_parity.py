@@ -64,6 +64,7 @@ SMALL = dict(
 )
 
 
+@pytest.mark.slow
 def test_beats_forward_parity_vs_torch():
     TorchBEATs, TorchCfg = _import_ref_beats()
     from audiossl_tpu.compat.beats import (

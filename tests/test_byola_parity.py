@@ -84,6 +84,7 @@ def test_slaney_filterbank_properties():
     assert (fb.sum(axis=1) > 0).all()
 
 
+@pytest.mark.slow
 def test_byola_adapter_shapes():
     from audiossl_tpu.compat.byola import AudioNTT2022Encoder
     from audiossl_tpu.downstream.comparison_models import BYOLAAdapter

@@ -50,15 +50,18 @@ def test_train_dcase_distill_mode(tmp_path):
     assert float(t_strong.min()) >= 0.0 and float(t_strong.max()) <= 1.0
 
     # run 2: distill mode from the teacher checkpoint
+    # --distill_pretrained_ckpt_path intentionally omitted: the driver
+    # must fall back to --pretrained_ckpt_path (like train_as_strong)
+    # instead of passing None into build_sed_teacher
     res = main(common + ["--distill_ckpt", teacher_save,
                          "--distill_arch", "tiny",
-                         "--distill_pretrained_ckpt_path", ckpt,
                          "--distill_weight", "1.0"])
     for k in ("psds1", "psds2", "event_f1"):
         assert k in res
         assert 0.0 <= res[k] <= 1.0
 
 
+@pytest.mark.slow
 def test_distill_term_changes_loss(tmp_path):
     """The teacher BCE term materially changes the training loss for
     the same state/batch (VERDICT r2 item 6 'done' criterion)."""

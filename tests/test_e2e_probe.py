@@ -5,6 +5,7 @@ pretrained weights needed — even a random frozen encoder's features
 separate pure tones)."""
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from audiossl_tpu.downstream.embedding import (
@@ -46,6 +47,7 @@ class _Loader:
                    "label": self.y[i: i + self.bs]}
 
 
+@pytest.mark.slow
 def test_probe_separates_tones():
     enc = AudioTransformer(embed_dim=32, depth=2, num_heads=2, spec_h=64,
                            spec_w=101, use_cls=True)

@@ -179,6 +179,7 @@ def test_zero1_optimizer_sharding_matches_replicated(tmp_path):
     assert sharded, "no optimizer-state leaf ended up sharded"
 
 
+@pytest.mark.slow
 def test_downstream_spmd_matches_single_device():
     """downstream_spmd (replicated state + sharded global batches) must
     produce the same finetune trajectory as the unsharded path and must

@@ -73,6 +73,7 @@ def test_maeast_patch_forward_parity(tmp_path):
     assert float(np.abs(out - want).max()) < 1e-3
 
 
+@pytest.mark.slow
 def test_maeast_adapter_embeddings():
     """Adapter surface on a small synthetic config: shapes, finiteness,
     token_count consistency for both variants."""

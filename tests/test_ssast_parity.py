@@ -91,3 +91,55 @@ def test_ssast_patch_forward_parity(tmp_path):
     out = enc.apply({"params": params}, jnp.asarray(fb))
     assert out.shape == out_ref.shape == (2, 14, 768)
     assert float(np.abs(np.asarray(out) - out_ref).max()) < 1e-3
+
+
+def test_ssast_adapter_token_count_contract():
+    """adapter.token_count must equal the encoder's actual output rows
+    for BOTH parities of the token count N (AvgPool2d((2,1),pad(1,0))
+    emits N//2+1 rows; (N+1)//2 under-counted by one for even N)."""
+    from audiossl_tpu.compat.ssast import SSASTAdapter, SSASTEncoder
+    from audiossl_tpu.compat.vit import ViTConfig
+
+    for variant in ("frame", "patch"):
+        ps = (128, 2) if variant == "frame" else (16, 16)
+        cfg = ViTConfig(embed_dim=32, depth=1, num_heads=2,
+                        patch_size=ps, num_prefix=2, max_patches=512)
+        enc = SSASTEncoder(vit=cfg, variant=variant)
+        # frames=200 -> N=100 (even, the off-by-one case);
+        # frames=198 -> N=99 (odd)   [frame variant]
+        for n_samples in (400 + 199 * 160, 400 + 197 * 160):
+            frames = 1 + (n_samples - 400) // 160
+            fb = jnp.zeros((1, frames, 128), jnp.float32)
+            params = enc.init(jax.random.PRNGKey(0), fb)["params"]
+            ad = SSASTAdapter(encoder=enc, params=params)
+            out = enc.apply({"params": params}, fb)
+            assert out.shape[1] == ad.token_count(n_samples), (
+                variant, n_samples, out.shape, ad.token_count(n_samples))
+
+
+def test_timmvit_pos_grid_column_slice():
+    """With pos_grid set (SSAST-patch freq-major grid), inputs shorter
+    than max_patches must take pos-embed LEADING COLUMNS of the grid —
+    equivalent to an encoder whose pos_embed was column-cut offline."""
+    from audiossl_tpu.compat.vit import TimmViT, ViTConfig
+
+    rows, cols0, cols = 8, 14, 10
+    base = dict(embed_dim=32, depth=1, num_heads=2, patch_size=(16, 16),
+                num_prefix=2)
+    big = TimmViT(ViTConfig(max_patches=rows * cols0,
+                            pos_grid=(rows, cols0), **base))
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(2, 128, 16 * cols).astype(np.float32))
+    pbig = big.init(jax.random.PRNGKey(0), x)["params"]
+
+    cut = TimmViT(ViTConfig(max_patches=rows * cols, **base))
+    pcut = dict(pbig)
+    pos = np.asarray(pbig["pos_embed"])
+    grid = pos[2:].reshape(rows, cols0, -1)[:, :cols].reshape(
+        rows * cols, -1)
+    pcut["pos_embed"] = jnp.asarray(np.concatenate([pos[:2], grid]))
+
+    out_big = big.apply({"params": pbig}, x)
+    out_cut = cut.apply({"params": pcut}, x)
+    assert out_big.shape == out_cut.shape
+    assert float(jnp.abs(out_big - out_cut).max()) == 0.0
