@@ -18,7 +18,11 @@ import collections
 import glob
 import os
 import re
+import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
