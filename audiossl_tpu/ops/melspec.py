@@ -225,23 +225,58 @@ def _boundary_power_fix(wav: jnp.ndarray, length, cfg: MelConfig):
     """Exact power [B, K, F] of the few frames whose analysis window
     crosses each sample's dynamic valid-length boundary (per-sample
     reflect padding, the reference computes mel on exact-length crops),
-    plus their start frame t0 [B]."""
+    plus their start frame t0 [B].
+
+    Gather-free: an earlier version materialized the K windows with a
+    [B, K*win] element gather from the waveform — a dynamic LANE gather
+    that TPU lowers to a near-scalar loop (measured 6 ms/view for a
+    96x10 s batch, the single most expensive op in the pretrain step).
+    Instead we pull ONE contiguous [B, S] buffer per sample
+    (vmap'd dynamic_slice = per-row DMA), take the K windows at STATIC
+    offsets inside it, and realize the dynamic right-edge reflection as
+    a per-sample shift of the reversed buffer: for a global sample
+    index g >= length the reflected source 2*(length-1) - g is buffer
+    position c - b (c = 2*(length-1) - 2*buffer_start), i.e. the
+    reversed buffer offset by S-1-c. Positions whose window lies wholly
+    past the boundary may read the zero extension — those frames sit at
+    or beyond frame index length//hop + 1 and every caller masks them
+    (assumes length >= win_length, as the single-reflection rule
+    already does)."""
     B, L = wav.shape
     pad = cfg.n_fft // 2
     T = cfg.num_frames(L)
+    hop = cfg.hop_length
+    win = cfg.win_length
     length = jnp.asarray(length, jnp.int32)
     K = 6  # windows crossing the boundary: <= ceil((pad+hop)/hop)+1
-    t0 = jnp.clip((length - (cfg.win_length - pad - cfg.hop_length + 1))
-                  // cfg.hop_length, 0, max(T - K, 0))
-    offs = jnp.arange(cfg.win_length, dtype=jnp.int32)
-    tks = t0[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]  # [B, K]
-    starts = tks * cfg.hop_length - pad  # [B, K]
-    idx = starts[:, :, None] + offs[None, None, :]  # [B, K, win]
-    j = _reflect_index(idx, length[:, None, None])
-    frames = jnp.take_along_axis(wav.astype(jnp.float32)[:, None, :],
-                                 j.reshape(B, 1, -1), axis=-1)
-    frames = frames.reshape(B, K, cfg.win_length) * hann_window(
-        cfg.win_length)
+    t0 = jnp.clip((length - (win - pad - hop + 1)) // hop,
+                  0, max(T - K, 0))
+    S = win + (K - 1) * hop  # contiguous samples covering all K windows
+    # padded coords: position p <-> sample index p - pad; the static
+    # left reflect serves windows that start before sample 0.
+    wav = wav.astype(jnp.float32)
+    left = wav[:, 1: pad + 1][:, ::-1]
+    wavp = jnp.concatenate([left, wav, jnp.zeros((B, S), wav.dtype)], 1)
+    starts = t0 * hop  # buffer start, padded coords (always >= 0)
+    buf = jax.vmap(
+        lambda w, s: jax.lax.dynamic_slice(w, (s,), (S,)))(wavp, starts)
+    # g = global (unpadded) sample index of buffer position b
+    g = (starts - pad)[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+    c = 2 * (length - 1) - 2 * (starts - pad)
+    rbuf = buf[:, ::-1]
+    # rbuf index for buffer position b is (S-1-c) + b; shift via a
+    # zero-extended dynamic slice (extension sized so no start clamps:
+    # S-1-c + S stays within [0, 3S] for any length in [win, L])
+    rpad = jnp.concatenate(
+        [jnp.zeros((B, S), jnp.float32), rbuf,
+         jnp.zeros((B, 2 * S), jnp.float32)], 1)
+    refl = jax.vmap(
+        lambda r, s: jax.lax.dynamic_slice(r, (s,), (S,)))(
+            rpad, jnp.clip(S - 1 - c + S, 0, 3 * S))
+    patched = jnp.where(g < length[:, None], buf, refl)
+    frames = jnp.stack(
+        [patched[:, k * hop: k * hop + win] for k in range(K)], 1)
+    frames = frames * hann_window(win)
     spec = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)
     fix = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2  # [B, K, F]
     return fix, t0

@@ -60,6 +60,15 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+# Opt-in PRNG implementation A/B (AUDIOSSL_PRNG=rbg|unsafe_rbg):
+# threefry2x32 key derivation runs on the VPU and the step consumes a
+# lot of randomness (block masks, mixup, RRC, per-layer droppath); the
+# TPU hardware generator is a drop-in stream change (the reference's
+# torch streams differ anyway), kept off the headline path until
+# measured to matter.
+if os.environ.get("AUDIOSSL_PRNG"):
+    jax.config.update("jax_default_prng_impl", os.environ["AUDIOSSL_PRNG"])
+
 BASELINE_CLIPS_PER_SEC = 144.0
 
 

@@ -168,3 +168,28 @@ def test_conv_path_matches_exact_gather_path(cfg):
         t = int(l) // cfg.hop_length + 1
         np.testing.assert_allclose(fast[i, :t], exact[i, :t],
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_boundary_fix_random_length_sweep(cfg):
+    """The gather-free boundary patch (dynamic-slice + shifted-reverse
+    reflect) must equal the exact framing for arbitrary valid lengths,
+    including hop-aligned, window-edge, and near-full cases."""
+    n_total = 16000 * 2
+    rng = np.random.RandomState(3)
+    lengths = np.array(
+        [cfg.win_length, cfg.win_length + 1, 2048, 4999, 16000,
+         n_total - 1, n_total, 31841, 1600, 12800]
+        + list(rng.randint(cfg.win_length, n_total, 14)), np.int32)
+    B = len(lengths)
+    padded = np.zeros((B, n_total), np.float32)
+    for i, l in enumerate(lengths):
+        padded[i, :l] = rng.randn(l) * 0.1
+    fast = np.asarray(M.power_spectrogram(
+        jnp.asarray(padded), jnp.asarray(lengths), cfg))
+    exact = np.asarray(M.power_spectrogram_exact(
+        jnp.asarray(padded), jnp.asarray(lengths), cfg))
+    for i, l in enumerate(lengths):
+        t = int(l) // cfg.hop_length + 1
+        np.testing.assert_allclose(
+            fast[i, :t], exact[i, :t], rtol=1e-4, atol=1e-4,
+            err_msg=f"length={l}")
