@@ -89,7 +89,7 @@ class AudioTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     # opt-in Pallas fused attention (wins for sequences >~512 tokens,
-    # e.g. long-audio variants; see ops/pallas_attention.py)
+    # e.g. long-audio variants; see ops/pallas_mha.py)
     fused_attention: bool = False
     # whole-block fused inference kernels (ops/pallas_block.py) — set
     # ONLY on encoders whose forward is never differentiated (the EMA
