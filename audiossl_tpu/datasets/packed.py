@@ -183,17 +183,37 @@ class PackedAudioDataset:
         return n // 160 + 1
 
 
+def _synth_wav(rng, ln: int, sr: int, kind: str) -> np.ndarray:
+    """One synthetic waveform. kind="noise": white noise (cheap, used
+    by most tests). kind="tones": AM-modulated harmonic stacks over a
+    noise floor — real time-frequency structure for convergence
+    checks (an SSL objective has nothing to learn from pure noise)."""
+    if kind == "noise":
+        return (rng.randn(ln) * 3000).astype(np.int16)
+    t = np.arange(ln, dtype=np.float64) / sr
+    sig = np.zeros(ln)
+    f0 = rng.uniform(80.0, 800.0)
+    for k in range(1, 4):
+        sig += rng.uniform(0.2, 1.0) / k * np.sin(
+            2 * np.pi * f0 * k * t + rng.uniform(0, 2 * np.pi))
+    env = 0.5 * (1.0 + np.sin(2 * np.pi * rng.uniform(0.5, 8.0) * t
+                              + rng.uniform(0, 2 * np.pi)))
+    sig = sig * env + 0.05 * rng.randn(ln)
+    sig *= 8000.0 / (np.abs(sig).max() + 1e-9)
+    return sig.astype(np.int16)
+
+
 def write_synthetic_pack(path: str, split: str, n: int, sr: int = 16000,
                          min_s: float = 1.0, max_s: float = 10.0,
                          num_labels: int = 10, multi_label: bool = False,
-                         seed: int = 0):
+                         seed: int = 0, kind: str = "noise"):
     """Synthetic data generator used by tests and benchmarks."""
     rng = np.random.RandomState(seed)
     os.makedirs(path, exist_ok=True)
     with PackedWriter(os.path.join(path, f"{split}.ards")) as w:
         for _ in range(n):
             ln = int(rng.uniform(min_s, max_s) * sr)
-            wav = (rng.randn(ln) * 3000).astype(np.int16)
+            wav = _synth_wav(rng, ln, sr, kind)
             if multi_label:
                 label = (rng.rand(num_labels) < 0.05).astype(np.float32)
             else:

@@ -90,6 +90,9 @@ def build_parser():
 
 
 def main(argv=None):
+    # pod-slice bootstrap (no-op single-host) - before any backend use
+    from audiossl_tpu.parallel.mesh import init_multihost
+    init_multihost()
     args = build_parser().parse_args(argv)
     info = get_dataset("as_strong")
     if args.arch in ("tiny", "small", "base"):
@@ -135,19 +138,22 @@ def main(argv=None):
                     distill_combine="average_strong")
     task = SEDTask(enc_mod, cfg, teacher_fn=teacher_fn)
     state = task.init_state(jax.random.PRNGKey(0), enc_params)
-    # data-parallel over all local devices (reference: DDP SED
-    # finetune; here replicated state + sharded global batches)
+    # data-parallel over all devices, incl. pod slices under
+    # jax.distributed (reference: DDP SED finetune; here replicated
+    # state + sharded global batches)
     from audiossl_tpu.parallel.mesh import downstream_spmd
 
-    mesh, state, shard = downstream_spmd(state)
+    par = downstream_spmd(state)
+    mesh, state, shard = par
     step = jax.jit(task.make_train_step(), donate_argnums=0)
     _predict = jax.jit(task.make_predict_fn())
-    predict = lambda st, b: _predict(st, shard(b))  # noqa: E731
+    # eval path: replicated batches so outputs stay host-addressable
+    predict = lambda st, b: _predict(st, par.shard_eval(b))  # noqa: E731
 
     # reference monitors val strong loss, MIN mode, save_top_k=3 +
     # EarlyStopping(patience 10, min) (train_as_strong.py:48-61)
     keeper = (TopKKeeper(args.save_path, k=args.save_top_k, mode="min")
-              if args.save_path else None)
+              if args.save_path and par.is_main else None)
     best_obj, best_state, since = float("inf"), jax.device_get(state), 0
     for epoch in range(args.max_epochs):
         train_loader.set_epoch(epoch)
@@ -188,7 +194,7 @@ def main(argv=None):
                                             shuffle=False),
                            encoder, cfg, gt, durations)
     print(json.dumps(result))
-    if args.save_path:
+    if args.save_path and par.is_main:
         os.makedirs(args.save_path, exist_ok=True)
         with open(os.path.join(args.save_path, "result.json"), "w") as f:
             json.dump(result, f)

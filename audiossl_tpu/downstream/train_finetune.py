@@ -59,6 +59,9 @@ def build_parser():
 
 
 def main(argv=None):
+    # pod-slice bootstrap (no-op single-host) - before any backend use
+    from audiossl_tpu.parallel.mesh import downstream_spmd, init_multihost
+    init_multihost()
     args = build_parser().parse_args(argv)
     info = get_dataset(args.dataset_name)
     enc, params = load_encoder(args.pretrained_ckpt_path, args.model_type,
@@ -105,19 +108,19 @@ def main(argv=None):
     )
     task = FinetuneTask(enc, cfg, embed_dim)
     state = task.init_state(jax.random.PRNGKey(0), params)
-    # data-parallel over all local devices (reference: Lightning DDP
+    # data-parallel over all devices — local, or the full pod slice
+    # when launched under jax.distributed (reference: Lightning DDP
     # multi-GPU finetune, sync-BN; here: replicated state + sharded
     # global batches under one jitted SPMD step)
-    from audiossl_tpu.parallel.mesh import downstream_spmd
-
-    mesh, state, shard = downstream_spmd(state)
+    par = downstream_spmd(state)
+    mesh, state, shard = par
     step = jax.jit(task.make_train_step(), donate_argnums=0)
     evaluate = jax.jit(task.make_eval_fn())
 
     def eval_split(state, split):
         m = Metric("mAP" if info.multi_label else "ACC")
         for batch in make_loader(split, False):
-            logits = np.asarray(evaluate(state, shard(batch)))
+            logits = np.asarray(evaluate(state, par.shard_eval(batch)))
             if info.multi_label:
                 logits = 1.0 / (1.0 + np.exp(-logits))
             m.update(logits, batch["label"])
@@ -125,7 +128,7 @@ def main(argv=None):
 
     # reference persists save_top_k=10 for audioset else 1
     # (train_finetune.py:122), monitored max on the val metric
-    if args.save_path:
+    if args.save_path and par.is_main:  # one writer per pod slice
         from audiossl_tpu.training.checkpoint import TopKKeeper
 
         k = 10 if "audioset" in args.dataset_name else 1
@@ -152,7 +155,7 @@ def main(argv=None):
     test = eval_split(best_state, "test")
     result = {"dataset": args.dataset_name, "val": best_val, "test": test}
     print(json.dumps(result))
-    if args.save_path:
+    if args.save_path and par.is_main:
         os.makedirs(args.save_path, exist_ok=True)
         with open(os.path.join(args.save_path, "result.json"), "w") as f:
             json.dump(result, f)

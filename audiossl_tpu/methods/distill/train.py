@@ -110,11 +110,12 @@ def main(argv=None):
     state = method.init_state(jax.random.PRNGKey(0), student_params)
     from audiossl_tpu.parallel.mesh import downstream_spmd
 
-    mesh, state, shard = downstream_spmd(state)
+    par = downstream_spmd(state)
+    mesh, state, shard = par
     step = jax.jit(method.make_step(), donate_argnums=0)
 
-    mgr = CheckpointManager(f"{args.save_path}/ckpt") if args.save_path \
-        else None
+    mgr = CheckpointManager(f"{args.save_path}/ckpt") \
+        if args.save_path and par.is_main else None
     gstep = 0
     for epoch in range(args.max_epochs):
         loader = BatchLoader(dataset, args.batch_size,

@@ -79,7 +79,8 @@ def main(argv=None):
     state = method.init_state(jax.random.PRNGKey(0), student_params)
     from audiossl_tpu.parallel.mesh import downstream_spmd
 
-    mesh, state, shard = downstream_spmd(state)
+    par = downstream_spmd(state)
+    mesh, state, shard = par
     step = jax.jit(method.make_step(), donate_argnums=0)
     evaluate = jax.jit(method.make_eval_fn())
 
@@ -88,14 +89,14 @@ def main(argv=None):
         loader = BatchLoader(ds, args.batch_size, pad_samples=pad,
                              shuffle=False, drop_last=False)
         for batch in loader:
-            logits = np.asarray(evaluate(state, shard(batch)))
+            logits = np.asarray(evaluate(state, par.shard_eval(batch)))
             if info.multi_label:
                 logits = 1.0 / (1.0 + np.exp(-logits))
             m.update(logits, batch["label"])
         return m.compute()
 
-    mgr = CheckpointManager(f"{args.save_path}/ckpt") if args.save_path \
-        else None
+    mgr = CheckpointManager(f"{args.save_path}/ckpt") \
+        if args.save_path and par.is_main else None
     gstep, last_val = 0, float("nan")
     for epoch in range(args.max_epochs):
         loader = BatchLoader(train_ds, args.batch_size, pad_samples=pad,
@@ -117,7 +118,7 @@ def main(argv=None):
     if mgr is not None:
         mgr.wait()
         mgr.close()
-    if args.save_path:
+    if args.save_path and par.is_main:
         os.makedirs(args.save_path, exist_ok=True)
         with open(os.path.join(args.save_path, "result.json"), "w") as f:
             json.dump(result, f)

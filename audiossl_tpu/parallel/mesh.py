@@ -49,7 +49,15 @@ def init_multihost(force: bool = False) -> bool:
         or os.environ.get("AUDIOSSL_MULTIHOST", "") not in ("", "0")
     if not want:
         return False
-    jax.distributed.initialize()
+    # jax.distributed.initialize() reads JAX_COORDINATOR_ADDRESS itself
+    # but num_processes/process_id only come from cluster auto-detection
+    # (SLURM/OpenMPI/TPU metadata) — for plain-env launches (tests,
+    # bare-metal pods) pass them through explicitly.
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    jax.distributed.initialize(
+        num_processes=int(nproc) if nproc is not None else None,
+        process_id=int(pid) if pid is not None else None)
     return True
 
 
@@ -156,28 +164,96 @@ def maybe_shard_batch(mesh: Mesh, tree, axis_name: str = "data"):
     return shard_batch_multiprocess(mesh, tree, axis_name) if ok else tree
 
 
+class DownstreamParallel:
+    """Return value of :func:`downstream_spmd`. Iterable as the legacy
+    ``(mesh, state, shard)`` triple; multi-process drivers additionally
+    use ``shard_eval`` (replicated eval batches whose jit outputs stay
+    host-addressable) and ``is_main`` (guard file writes)."""
+
+    def __init__(self, mesh, state, shard, shard_eval=None, is_main=True):
+        self.mesh = mesh
+        self.state = state
+        self.shard = shard
+        self.shard_eval = shard_eval if shard_eval is not None else shard
+        self.is_main = is_main
+
+    def __iter__(self):
+        return iter((self.mesh, self.state, self.shard))
+
+
+def _replicate_tree_multiprocess(mesh: Mesh, tree):
+    """Replicate host-identical values over a multi-process mesh: for
+    P() the process-local data IS the global data, so every process
+    passes its full copy. (Values are identical by construction — same
+    seeded init on every process, the DDP contract.)"""
+    sh = replicated(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sh, np.asarray(jax.device_get(x))), tree)
+
+
 def downstream_spmd(state):
     """Data-parallel context for the downstream drivers (the SPMD
     equivalent of the reference's multi-GPU Lightning DDP finetuning,
     e.g. AudioSet finetune at batch 512 over 8 GPUs with
     sync_batchnorm — reference downstream/train_finetune.py:125).
 
-    -> (mesh, state, shard_fn). With one device everything is a
-    passthrough; with N devices the train state is replicated and
-    shard_fn shards global batches over the data axis — gradient
-    means, BatchNorm statistics and metric reductions become global
-    reductions inserted by XLA, reproducing DDP+sync-BN semantics
-    with no code change in the task.
+    -> DownstreamParallel (unpacks as ``mesh, state, shard``). With one
+    device everything is a passthrough; with N devices the train state
+    is replicated and shard_fn shards global batches over the data
+    axis — gradient means, BatchNorm statistics and metric reductions
+    become global reductions inserted by XLA, reproducing DDP+sync-BN
+    semantics with no code change in the task.
 
-    Single-process only: the downstream loaders read FULL global
-    batches, so under jax.distributed (process_count > 1) this returns
-    a passthrough — multi-host downstream runs would need per-host
-    sharded loaders like the pretraining runner's."""
-    if jax.process_count() > 1:
-        mesh = data_mesh(devices=jax.local_devices()[:1])
-        return mesh, state, lambda b: b
+    Multi-process (``jax.distributed`` initialized, process_count > 1):
+    every process keeps its FULL-batch loader — downstream datasets are
+    small and the host does only IO+pad, so duplicating that per host
+    is cheap (pretraining, the IO-heavy path, uses true per-host
+    sharded loaders instead: ``BatchLoader(process_index=)``). Each
+    process slices its contiguous rows out of the (identically seeded,
+    hence identical) global batch and ``shard`` assembles the global
+    sharded array with zero cross-host data movement; train batches
+    whose leading dim does not divide the global device count fall
+    back to replicated, like ``maybe_shard_batch``. ``shard_eval``
+    replicates eval batches so jitted eval outputs are fully
+    replicated and therefore addressable on every host (metrics are
+    then computed identically everywhere — no gather needed)."""
+    nproc = jax.process_count()
+    if nproc > 1:
+        mesh = data_mesh()  # all global devices
+        ndev = mesh.shape["data"]
+        pid = jax.process_index()
+        state = _replicate_tree_multiprocess(mesh, state)
+        data_sh = batch_sharding(mesh)
+        repl_sh = replicated(mesh)
+
+        def shard(tree):
+            leaves = jax.tree.leaves(tree)
+            ok = all(getattr(x, "ndim", 0) >= 1 and x.shape[0] % ndev == 0
+                     for x in leaves)
+            if not ok:
+                return jax.tree.map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        repl_sh, np.asarray(x)), tree)
+
+            def put(x):
+                x = np.asarray(x)
+                per = x.shape[0] // nproc
+                return jax.make_array_from_process_local_data(
+                    data_sh, x[pid * per:(pid + 1) * per])
+
+            return jax.tree.map(put, tree)
+
+        def shard_eval(tree):
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    repl_sh, np.asarray(x)), tree)
+
+        return DownstreamParallel(mesh, state, shard, shard_eval,
+                                  is_main=pid == 0)
     mesh = data_mesh(devices=jax.local_devices())
     if mesh.shape["data"] == 1:
-        return mesh, state, lambda b: b
+        return DownstreamParallel(mesh, state, lambda b: b)
     state = replicate_tree(mesh, state)
-    return mesh, state, lambda b: maybe_shard_batch(mesh, b)
+    return DownstreamParallel(mesh, state,
+                              lambda b: maybe_shard_batch(mesh, b))

@@ -138,15 +138,21 @@ def mixup_log(key, spec: jnp.ndarray, ratio: float = 0.4,
 
     spec: [B, F, T] log-domain (MinMax-normalized) spectrograms.
     mixed = log((1-a)*exp(x) + a*exp(z) + eps), a = ratio*U(0,1) per
-    sample, z a random other batch item. When ``valid_frames`` is given,
-    padded frames of x are left untouched (the reference mixes exact-
-    length crops before padding)."""
+    sample, z a random OTHER batch item drawn independently per sample
+    (the reference draws z uniformly from a worker-local 2000-item FIFO
+    of previous inputs; with shuffled batches both partner marginals
+    are uniform over the dataset and never the sample itself —
+    equivalence measured in tests/test_mixup_equivalence.py, numbers
+    in PARITY.md). When ``valid_frames`` is given, padded frames of x
+    are left untouched (the reference mixes exact-length crops before
+    padding)."""
     B = spec.shape[0]
     k1, k2 = jax.random.split(key)
     a = ratio * jax.random.uniform(k1, (B, 1, 1))
-    # random partner: offset in [1, B-1] rolled per sample
-    shift = jax.random.randint(k2, (), 1, max(B, 2))
-    z = jnp.roll(spec, shift, axis=0)
+    # independent random partner per sample: index offset in [1, B-1]
+    # (a gather of B rows — free next to the mel/encoder work)
+    shift = jax.random.randint(k2, (B,), 1, max(B, 2))
+    z = spec[(jnp.arange(B) + shift) % B]
     mixed = jnp.log((1.0 - a) * jnp.exp(spec) + a * jnp.exp(z) + _EPS32)
     if valid_frames is not None:
         pos = jnp.arange(spec.shape[-1])[None, None, :]

@@ -27,6 +27,8 @@ the same way (driver consumers parse line 1; --clip is opt-in so the
 driver contract is unchanged). ``--embed`` / ``--embed-int8`` likewise
 opt into serving-path lines: scene-embedding extraction throughput
 through the public API on the fused inference kernels (bf16 / int8).
+``--mel`` prints the mel front-end GB/s (BASELINE.md north-star line);
+``--all`` turns every surface on — one line per metric.
 """
 from __future__ import annotations
 
@@ -59,6 +61,14 @@ threading.Thread(target=_watchdog, daemon=True).start()
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
+
+# Persistent compilation cache: repeat bench invocations (A/B sweeps,
+# the driver's capture) otherwise recompile the identical step graph
+# for minutes each. Override with JAX_COMPILATION_CACHE_DIR.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/audiossl_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 # Opt-in PRNG implementation A/B (AUDIOSSL_PRNG=rbg|unsafe_rbg):
 # threefry2x32 key derivation runs on the VPU and the step consumes a
@@ -166,6 +176,46 @@ def bench_embed(quant="none"):
     }))
 
 
+def bench_mel():
+    """Mel front-end bandwidth (BASELINE.md names "Mel-spectrogram
+    front end: measured GB/s (Pallas-fused)"): the production
+    waveform→normalized-log-mel chain (framed-matmul STFT + fused
+    Pallas power→mel→dB postproc, ops/melspec.py) on 10 s clips.
+    GB/s counts the chain's HBM stream: f32 waveform in + f32 [B,64,T]
+    mel out (the device-side analogue of the reference's CPU
+    torchaudio.MelSpectrogram, measured at 7.45 ms/clip/8 threads =
+    0.086 GB/s on the reference's host path)."""
+    from audiossl_tpu.ops.melspec import MelConfig, log_melspec
+
+    cfg = MelConfig()
+    B, L = 256, 160000
+    rng = np.random.RandomState(0)
+    wav = jnp.asarray(rng.randn(B, L).astype(np.float32) * 0.1)
+    valid = jnp.full((B,), L, jnp.int32)
+    fn = jax.jit(lambda w, v: log_melspec(w, v, cfg))
+    mel = fn(wav, valid)
+    float(jnp.sum(mel))
+    _backend_up.set()
+    T = mel.shape[-1]
+    stream_bytes = B * L * 4 + B * 64 * T * 4
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(20):
+            mel = fn(wav, valid)
+        assert jnp.isfinite(float(jnp.sum(mel)))
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    gbps = stream_bytes * 20 / best_dt / 1e9
+    print(json.dumps({
+        "metric": "mel_frontend_gb_per_sec",
+        "value": round(gbps, 2),
+        "unit": "GB/s",
+        # reference grounding: its CPU mel chain moves the same bytes
+        # in 7.45 ms/clip on 8 torch threads
+        "vs_baseline": round(gbps / (stream_bytes / B / 7.45e-3 / 1e9), 1),
+    }))
+
+
 def main():
     from audiossl_tpu.methods.atstframe.method import (
         FramePretrainConfig,
@@ -217,10 +267,15 @@ def main():
 
 
 if __name__ == "__main__":
+    flags = set(sys.argv[1:])
+    if "--all" in flags:  # every surface in one invocation
+        flags |= {"--clip", "--embed", "--embed-int8", "--mel"}
     main()
-    if "--clip" in sys.argv[1:]:
+    if "--clip" in flags:
         bench_clip_small()
-    if "--embed" in sys.argv[1:]:
+    if "--embed" in flags:
         bench_embed()
-    if "--embed-int8" in sys.argv[1:]:
+    if "--embed-int8" in flags:
         bench_embed(quant="int8")
+    if "--mel" in flags:
+        bench_mel()

@@ -22,8 +22,26 @@ this script stages the check as a one-command step for when they can:
 Without ``--golden`` the script writes OUR embeddings to ``--out``
 (same .npz layout) for cross-build diffing or as a reference record.
 
+``probe`` mode additionally stages LINEAR-PROBE SCORE parity
+(BASELINE.json configs 1/2 — frozen-encoder eval on spcv2 / us8k /
+nsynth etc., the reference's shell/downtream/freeze/eval_*.sh runs)::
+
+    python scripts/verify_released.py probe \\
+        --ckpt atst_small.ckpt --dataset_name spcv2 \\
+        --data_path /data/spcv2 --model_type clip --arch small \\
+        --expect 0.958 --tol 0.01
+
+runs our ``atst_downstream_train_freeze`` driver end-to-end with the
+reference recipe's hyperparameters and exits non-zero if the test
+score differs from ``--expect`` (the score of the same eval on the
+torch side, or the paper's published number) by more than ``--tol``.
+One command closes the whole parity story once egress exists: embedding
+diff (step 2 above) + probe score parity (this mode).
+
 Reference surface being compared: ``methods/atstframe/embedding.py:
-19-127`` (load_model / get_scene_embedding / get_timestamp_embedding).
+19-127`` (load_model / get_scene_embedding / get_timestamp_embedding)
+and ``methods/atst/downstream/train_freeze.py`` via
+``shell/downtream/freeze/eval_*.sh``.
 """
 from __future__ import annotations
 
@@ -75,7 +93,47 @@ def load_wav(path: str) -> np.ndarray:
     return data[None, :]
 
 
+def probe_main(argv):
+    """Staged linear-probe score parity (see module docstring)."""
+    p = argparse.ArgumentParser("verify_released probe")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--dataset_name", required=True)
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--model_type", default="clip",
+                   choices=["clip", "frame"])
+    p.add_argument("--arch", default="small",
+                   choices=["tiny", "small", "base"])
+    p.add_argument("--expect", type=float, required=True,
+                   help="test score of the reference's eval_*.sh run "
+                        "(or the paper's published number)")
+    p.add_argument("--tol", type=float, default=0.01)
+    p.add_argument("--max_epochs", type=int, default=None,
+                   help="override the recipe's probe epochs")
+    args = p.parse_args(argv)
+
+    from audiossl_tpu.downstream import train_freeze
+
+    drv = ["--pretrained_ckpt_path", args.ckpt,
+           "--data_path", args.data_path,
+           "--dataset_name", args.dataset_name,
+           "--model_type", args.model_type, "--arch", args.arch]
+    if args.max_epochs is not None:
+        drv += ["--max_epochs", str(args.max_epochs)]
+    result = train_freeze.main(drv)
+    score = float(result["test"])
+    diff = abs(score - args.expect)
+    out = {"dataset": args.dataset_name, "test_score": score,
+           "expect": args.expect, "abs_diff": diff, "tol": args.tol,
+           "ok": diff <= args.tol}
+    print(json.dumps(out))
+    return 0 if out["ok"] else 1
+
+
 def main(argv=None):
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv[:1] == ["probe"]:
+        return probe_main(argv[1:])
     p = argparse.ArgumentParser("verify_released")
     p.add_argument("--ckpt", help="reference .ckpt or orbax dir")
     p.add_argument("--wav", help="16 kHz wav file")

@@ -67,8 +67,8 @@ def test_mixup_log_matches_reference_formula():
     out = np.asarray(mixup_log(key, spec, ratio=0.4))
     k1, k2 = jax.random.split(key)
     a = 0.4 * np.asarray(jax.random.uniform(k1, (B, 1, 1)))
-    shift = int(jax.random.randint(k2, (), 1, B))
-    z = np.roll(np.asarray(spec), shift, axis=0)
+    shift = np.asarray(jax.random.randint(k2, (B,), 1, B))
+    z = np.asarray(spec)[(np.arange(B) + shift) % B]
     eps = np.finfo(np.float32).eps
     want = np.log((1 - a) * np.exp(np.asarray(spec)) + a * np.exp(z) + eps)
     np.testing.assert_allclose(out, want, atol=1e-5)

@@ -66,3 +66,26 @@ def test_print_torch_recipe(capsys):
     assert vr.main(["--print-torch-recipe"]) == 0
     out = capsys.readouterr().out
     assert "get_scene_embedding" in out and "np.savez" in out
+
+
+def test_probe_mode_scores_against_expectation(monkeypatch, capsys):
+    """probe mode drives the train_freeze CLI and gates on the score
+    difference (linear-probe parity staging, BASELINE.json configs
+    1/2). The driver itself is mocked — its end-to-end behavior has
+    its own tests (test_e2e_probe.py)."""
+    vr = _load_script()
+    from audiossl_tpu.downstream import train_freeze
+
+    seen = {}
+
+    def fake_main(argv):
+        seen["argv"] = argv
+        return {"test": 0.953}
+
+    monkeypatch.setattr(train_freeze, "main", fake_main)
+    base = ["probe", "--ckpt", "c", "--dataset_name", "spcv2",
+            "--data_path", "d", "--model_type", "clip",
+            "--arch", "small", "--tol", "0.01"]
+    assert vr.main(base + ["--expect", "0.958"]) == 0
+    assert "--dataset_name" in seen["argv"]
+    assert vr.main(base + ["--expect", "0.90"]) == 1
