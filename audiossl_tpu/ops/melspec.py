@@ -175,23 +175,38 @@ def _dft_filters_np(n_fft: int, win_length: int) -> np.ndarray:
     return np.concatenate([cos, sin], 0).astype(np.float32)
 
 
-def stft_conv(wav: jnp.ndarray, cfg: MelConfig = MelConfig()
-              ) -> jnp.ndarray:
+def stft_conv(wav: jnp.ndarray, cfg: MelConfig = MelConfig(),
+              pad_frames_to: Optional[int] = None) -> jnp.ndarray:
     """Real/imag STFT [B, 2F, T] as ONE strided convolution with
     Hann-windowed DFT filters (im2col+matmul on the MXU) over a
     statically reflect-padded buffer — ~50 GFLOP for a 48x10 s batch
     instead of a ~200 MB random gather. Rows 0..F-1 are the real part,
-    rows F..2F-1 the imaginary part."""
+    rows F..2F-1 the imaginary part.
+
+    ``pad_frames_to`` (>= T) emits that many frames directly — the
+    extra frames read the zero extension and yield zero power. Padding
+    the frame COUNT before the matmul costs +(Tp-T)/T flops; padding
+    the [B, 2F, T] f32 OUTPUT afterwards (what the Pallas postprocess
+    kernel otherwise forces) costs a full-tensor HBM round trip
+    (measured 1.2 ms for a 96x10 s batch)."""
     wav = wav.astype(jnp.float32)
     B, L = wav.shape
     pad = cfg.n_fft // 2
+    hop = cfg.hop_length
+    win = cfg.win_length
     T = cfg.num_frames(L)
+    To = T if pad_frames_to is None else max(pad_frames_to, T)
+    nh = win // hop + 1
+    # zero extension sized so every emitted frame (and every
+    # hop-decomposed slice below) stays in bounds
+    zeros_len = max(win, (To - 1) * hop + win - 2 * pad - L,
+                    (To + nh - 1) * hop - 2 * pad - L)
     # static reflect at both edges (exact for full-length samples; frames
     # near a shorter sample's dynamic boundary are patched by callers)
     left = wav[:, 1: pad + 1][:, ::-1]
     right = wav[:, L - pad - 1: L - 1][:, ::-1]
     wavp = jnp.concatenate(
-        [left, wav, right, jnp.zeros((B, cfg.win_length), wav.dtype)],
+        [left, wav, right, jnp.zeros((B, zeros_len), wav.dtype)],
         axis=1)
     filt = jnp.asarray(_dft_filters_np(cfg.n_fft, cfg.win_length))
     if cfg.stft_precision == "default":
@@ -200,10 +215,8 @@ def stft_conv(wav: jnp.ndarray, cfg: MelConfig = MelConfig()
         # [win, 2F] matmul. XLA's strided-conv lowering of the same
         # math runs at ~20 TF/s; the framed matmul more than halves it
         # (v5e: 6.8 -> ~3.5 ms for a 96x10 s batch).
-        hop = cfg.hop_length
-        nh = cfg.win_length // hop + 1
         segs = [jax.lax.dynamic_slice_in_dim(
-            wavp, i * hop, T * hop, axis=1).reshape(B, T, hop)
+            wavp, i * hop, To * hop, axis=1).reshape(B, To, hop)
             for i in range(nh)]
         frames = jnp.concatenate(segs, axis=2)[:, :, :cfg.win_length]
         out = jnp.einsum("btw,fw->bft", frames, filt,
@@ -218,7 +231,7 @@ def stft_conv(wav: jnp.ndarray, cfg: MelConfig = MelConfig()
         window_strides=(cfg.hop_length,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         precision=prec)  # [B, 2F, T']
-    return out[:, :, :T]
+    return out[:, :, :To]
 
 
 def _boundary_power_fix(wav: jnp.ndarray, length, cfg: MelConfig):
@@ -392,8 +405,15 @@ def log_melspec(
     if use_pallas:
         from audiossl_tpu.ops.pallas_mel import stft_to_mel_db
 
-        stft = stft_conv(wav, cfg)  # [B, 2F, T]
+        # emit the postprocess kernel's block-aligned frame count
+        # directly from the framed matmul (saves the [B, 2F, T] f32
+        # pad round trip the kernel's BlockSpec otherwise forces)
+        T = cfg.num_frames(wav.shape[1])
+        Tp = T + (-T) % 256
+        stft = stft_conv(wav, cfg, pad_frames_to=Tp)  # [B, 2F, Tp]
         db = stft_to_mel_db(stft, mel_filterbank(cfg), amin=cfg.amin)
+        if Tp != T:
+            db = db[:, :, :T]
         if length is not None:
             fix_p, t0 = _boundary_power_fix(wav, length, cfg)
             fix_mel = jnp.einsum(

@@ -40,12 +40,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _rcp(x):
+    """Reciprocal via the VPU's approximate-reciprocal (~2^-8 rel err)
+    plus ONE Newton step (error squares to ~1.5e-5): ~4 cheap VPU ops
+    where a true divide on a full [M, 4C] block costs several times a
+    multiply per element."""
+    t = pl.reciprocal(x, approx=True)
+    return t * (2.0 - x * t)
+
+
 def _erf(x):
-    """Abramowitz & Stegun 7.1.26 (|err| < 1.5e-7 — exact at forward
-    precision); Mosaic has no erf/erfc primitive."""
+    """Abramowitz & Stegun 7.1.26 (|err| < ~2e-5 with the NR-refined
+    reciprocal — far below the bf16 working precision these
+    activations are cast to); Mosaic has no erf/erfc primitive."""
     s = jnp.sign(x)
     a = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * a)
+    t = _rcp(1.0 + 0.3275911 * a)
     poly = t * (0.254829592 + t * (-0.284496736 + t * (
         1.421413741 + t * (-1.453152027 + t * 1.061405429))))
     return s * (1.0 - poly * jnp.exp(-a * a))
@@ -57,74 +67,85 @@ def _ln(xf, scale, bias, eps):
     return (xf - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def _q8_act(h):
+def _q8_act(h, bound=None):
     """Per-row symmetric int8 quantization of an f32 activation block:
-    h [M, K] -> (int8 values, f32 [M, 1] scales)."""
-    r = jnp.max(jnp.abs(h), axis=-1, keepdims=True) * (1.0 / 127.0)
-    r = jnp.maximum(r, 1e-30)
-    q = jnp.clip(jnp.round(h / r), -127.0, 127.0).astype(jnp.int8)
+    h [M, K] -> (int8 values, f32 [M, 1] scales). ``bound`` is an
+    optional precomputed [M, 1] upper bound on |h| per row — passing
+    one skips the abs+max reduce pass over the full block (the caller
+    derived it from data it already reduced). Scaling multiplies by
+    the reciprocal: a VPU divide on [M, K] costs several times a
+    multiply."""
+    m = jnp.max(jnp.abs(h), axis=-1, keepdims=True) if bound is None \
+        else bound
+    m = jnp.maximum(m, 1e-30)
+    r = m * (1.0 / 127.0)
+    rinv = 127.0 / m
+    q = jnp.clip(jnp.round(h * rinv), -127.0, 127.0).astype(jnp.int8)
     return q, r
 
 
-def _q8_dot(h, wq_ref, ws_ref):
+def _q8_dot(h, wq_ref, ws_ref, bound=None):
     """f32 [M, K] x per-channel-quantized weight -> f32 [M, J] on the
     int8 MXU path (2x bf16 peak on v5e): dynamic per-row activation
     scales x static per-output-channel weight scales."""
-    q, r = _q8_act(h)
+    q, r = _q8_act(h, bound)
     acc = jax.lax.dot_general(
         q, wq_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     return acc.astype(jnp.float32) * r * ws_ref[0]
 
 
-def _attn_core(xf, vrow, dot_qkv, dot_proj, dp, lns, lnb, cdt,
-               *, H, scale, eps):
+def _attn_core(xf, vrow_k, vrow_v, dot_qkv, dot_proj, dp, lns, lnb,
+               cdt, *, H, scale, eps):
     """Shared attention-block body: LN1 -> qkv (via ``dot_qkv``) ->
     exp-only masked softmax attention -> out-projection (``dot_proj``)
     -> stochastic-depth residual. The dot closures take the f32 LN/attn
     output rows and return f32 rows (bias included), so the float and
     int8-quantized kernels share every subtlety of the masking and
-    zero-valid-key paths."""
+    zero-valid-key paths.
+
+    Two validity rows realize the masking with ONE numerator/
+    denominator pair per head: ``vrow_k`` zeroes invalid keys (their
+    scores exponentiate to 1 but are excluded from the weighted sum),
+    ``vrow_v`` gates the value/denominator columns. A sequence with
+    ZERO valid keys (the chunked-inference length quirk,
+    models/atst.py) gets vrow_v = all-ones from the caller while
+    vrow_k stays 0 — scores are all 0, e = 1, so the single pair
+    yields exactly mean(v): the additive-mask path's uniform
+    attention. (An earlier version carried a second unmasked pair in
+    the same dot; that doubled the AV dot's lane tiles — [*, 2d+2]
+    pads to two 128-lane tiles where [*, d+1] needs one.)"""
     C = xf.shape[1]
     d = C // H
-    vrow = vrow[:, None]  # [N, 1]
+    vrow_k = vrow_k[:, None]  # [N, 1]
+    vrow_v = vrow_v[:, None]
     h = _ln(xf, lns, lnb, eps)
     qkv = dot_qkv(h).astype(cdt)  # [N, 3C]
-    has_valid = jnp.sum(vrow) > 0.5  # per-sequence scalar
     outs = []
     for g in range(H):
         q = qkv[:, g * d:(g + 1) * d]
         k = qkv[:, C + g * d:C + (g + 1) * d]
         v = qkv[:, 2 * C + g * d:2 * C + (g + 1) * d]
-        kz = (k.astype(jnp.float32) * vrow).astype(k.dtype)
-        # two numerator/denominator pairs in ONE dot: masked (valid
-        # keys only) and unmasked. A sequence with ZERO valid keys
-        # (the chunked-inference length quirk, models/atst.py) must
-        # reproduce the additive-mask path's uniform attention over
-        # all keys — with kz = 0 its scores are all 0, e = 1, so the
-        # unmasked pair yields exactly mean(v).
+        kz = (k.astype(jnp.float32) * vrow_k).astype(k.dtype)
         vf = v.astype(jnp.float32)
         vv = jnp.concatenate(
-            [vf * vrow, vrow, vf, jnp.ones_like(vrow)],
-            axis=1).astype(v.dtype)
+            [vf * vrow_v, vrow_v], axis=1).astype(v.dtype)
         s = jax.lax.dot_general(
             q, kz, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         e = jnp.exp(s).astype(q.dtype)  # exp-only softmax
         o2 = jnp.dot(e, vv, preferred_element_type=jnp.float32)
-        den_v = o2[:, d:d + 1]
-        o_valid = o2[:, :d] * (1.0 / (den_v + 1e-30))
-        o_all = o2[:, d + 1:2 * d + 1] * (1.0 / o2[:, 2 * d + 1:])
-        outs.append(jnp.where(has_valid, o_valid, o_all))
+        den = o2[:, d:d + 1]
+        outs.append(o2[:, :d] * (1.0 / (den + 1e-30)))
     o = jnp.concatenate(outs, axis=1).astype(jnp.float32)  # [N, C]
     y = dot_proj(o)
     # stochastic-depth keep multiplier (0 or 1/keep_rate per sample)
     return xf + y * dp
 
 
-def _attn_kernel(x_ref, v_ref, dp_ref, lns_ref, lnb_ref, wqkv_ref,
-                 bqkv_ref, wproj_ref, bproj_ref, o_ref, *, H, scale,
-                 eps):
+def _attn_kernel(x_ref, v_ref, v2_ref, dp_ref, lns_ref, lnb_ref,
+                 wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, o_ref, *,
+                 H, scale, eps):
     cdt = wqkv_ref.dtype  # compute dtype follows the weights
 
     def dot_qkv(h):
@@ -139,15 +160,17 @@ def _attn_kernel(x_ref, v_ref, dp_ref, lns_ref, lnb_ref, wqkv_ref,
 
     o_ref[0] = _attn_core(
         x_ref[0].astype(jnp.float32), v_ref[0, 0].astype(jnp.float32),
+        v2_ref[0, 0].astype(jnp.float32),
         dot_qkv, dot_proj, dp_ref[0, 0, 0], lns_ref[0], lnb_ref[0],
         cdt, H=H, scale=scale, eps=eps).astype(o_ref.dtype)
 
 
-def _attn_kernel_q8(x_ref, v_ref, dp_ref, lns_ref, lnb_ref, wqkv_ref,
-                    sqkv_ref, bqkv_ref, wproj_ref, sproj_ref,
+def _attn_kernel_q8(x_ref, v_ref, v2_ref, dp_ref, lns_ref, lnb_ref,
+                    wqkv_ref, sqkv_ref, bqkv_ref, wproj_ref, sproj_ref,
                     bproj_ref, o_ref, *, H, scale, eps):
     o_ref[0] = _attn_core(
         x_ref[0].astype(jnp.float32), v_ref[0, 0].astype(jnp.float32),
+        v2_ref[0, 0].astype(jnp.float32),
         lambda h: _q8_dot(h, wqkv_ref, sqkv_ref) + bqkv_ref[0],
         lambda o: _q8_dot(o, wproj_ref, sproj_ref) + bproj_ref[0],
         dp_ref[0, 0, 0], lns_ref[0], lnb_ref[0], jnp.bfloat16,
@@ -183,12 +206,19 @@ def _mlp_kernel(x_ref, dp_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
 
 def _mlp_kernel_q8(x_ref, dp_ref, lns_ref, lnb_ref, w1_ref, s1_ref,
                    b1_ref, w2_ref, s2_ref, b2_ref, o_ref, *, eps):
-    o_ref[0] = _mlp_core(
-        x_ref[0].astype(jnp.float32),
-        lambda h: _q8_dot(h, w1_ref, s1_ref) + b1_ref[0],
-        lambda a: _q8_dot(a, w2_ref, s2_ref) + b2_ref[0],
-        dp_ref[0, 0, 0], lns_ref[0], lnb_ref[0], eps=eps
-    ).astype(o_ref.dtype)
+    xf = x_ref[0].astype(jnp.float32)
+    h = _ln(xf, lns_ref[0], lnb_ref[0], eps)
+    u = _q8_dot(h, w1_ref, s1_ref) + b1_ref[0]
+    a = 0.5 * u * (1.0 + _erf(u * 0.7071067811865476))
+    # |gelu(u)| <= max(gelu(rowmax(u)), 0.17): gelu is monotone above
+    # its minimum (~-0.17 at u~-0.75), so ONE reduce over the
+    # pre-activation bounds the activation rows — _q8_act then skips
+    # its own abs+max pass over the [N, 4C] block.
+    umax = jnp.max(u, axis=-1, keepdims=True)
+    gmax = 0.5 * umax * (1.0 + _erf(umax * 0.7071067811865476))
+    bound = jnp.maximum(gmax, 0.17)
+    y = _q8_dot(a, w2_ref, s2_ref, bound=bound) + b2_ref[0]
+    o_ref[0] = (xf + y * dp_ref[0, 0, 0]).astype(o_ref.dtype)
 
 
 def _row(x):
@@ -252,11 +282,20 @@ def attn_block_infer(x, valid, p, num_heads, eps=1e-6, dp=None,
                  p["attn"]["proj"]["kernel"].astype(cdt), _row(bproj)]
         w_specs = [_wspec((C, 3 * C), const), _wspec((1, 3 * C), const),
                    _wspec((C, C), const), _wspec((1, C), const)]
+    validf = valid.astype(jnp.float32)
+    # value/denominator validity: a sequence with zero valid keys
+    # attends uniformly over ALL keys (see _attn_core) — its vrow_v
+    # flips to all-ones while vrow_k stays 0
+    valid_v = jnp.where(
+        jnp.sum(validf, axis=1, keepdims=True) > 0.5,
+        validf, jnp.ones_like(validf))
     return pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -277,7 +316,7 @@ def attn_block_infer(x, valid, p, num_heads, eps=1e-6, dp=None,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(x, valid[:, None, :].astype(jnp.float32),
+    )(x, validf[:, None, :], valid_v[:, None, :],
       dp.astype(jnp.float32)[:, None, None],
       _row(p["norm1"]["scale"].astype(jnp.float32)),
       _row(p["norm1"]["bias"].astype(jnp.float32)),

@@ -47,17 +47,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from audiossl_tpu.ops.pallas_block import _const, _row  # shared helpers
+from audiossl_tpu.ops.pallas_block import (  # shared helpers
+    _const,
+    _rcp,
+    _row,
+)
 
 _INV_SQRT2 = 0.7071067811865476
 _INV_SQRT_2PI = 0.3989422804014327
 
 
 def _erf_from_exp(x, ex2):
-    """A&S 7.1.26 erf(x) given a precomputed exp(-x*x)."""
+    """A&S 7.1.26 erf(x) given a precomputed exp(-x*x). NR-refined
+    approximate VPU reciprocal for the rational term (see
+    pallas_block._rcp)."""
     s = jnp.sign(x)
     a = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * a)
+    t = _rcp(1.0 + 0.3275911 * a)
     poly = t * (0.254829592 + t * (-0.284496736 + t * (
         1.421413741 + t * (-1.453152027 + t * 1.061405429))))
     return s * (1.0 - poly * ex2)
