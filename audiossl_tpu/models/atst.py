@@ -36,6 +36,7 @@ import flax.linen as nn
 
 from audiossl_tpu.models.transformer import (
     Block,
+    LayerNormPG,
     length_to_attn_mask,
     length_to_token_mask,
 )
@@ -132,7 +133,9 @@ class AudioTransformer(nn.Module):
                   name=f"blocks_{i}")
             for i in range(self.depth)
         ]
-        self.norm = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm")
+        ln_cls = LayerNormPG if self.fused_attention else nn.LayerNorm
+        self.norm = ln_cls(epsilon=self.eps, dtype=self.dtype,
+                           name="norm")
 
     # ------------------------------------------------------------------ #
     def _interpolated_pos(self, n_tokens: int, h: int, w: int):

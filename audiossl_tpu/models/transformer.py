@@ -23,6 +23,27 @@ import flax.linen as nn
 MASK_VALUE = -10000.0
 
 
+class LayerNormPG(nn.Module):
+    """flax-equivalent LayerNorm routed through
+    ``ops.pallas_ln.layer_norm``: identical forward math (XLA keeps
+    fusing it into the next matmul), single-pass Pallas backward on
+    TPU (XLA's LN backward costs two full (x, dy) reads). Same param
+    names/shapes as ``nn.LayerNorm`` — checkpoints interchange."""
+    epsilon: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from audiossl_tpu.ops.pallas_ln import layer_norm
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,),
+                          jnp.float32)
+        return layer_norm(x, scale, bias, self.epsilon, self.dtype)
+
+
 def length_to_attn_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
     """[B] token counts -> additive attention mask [B, 1, 1, max_len]."""
     pos = jnp.arange(max_len)
@@ -161,7 +182,8 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, attn_mask=None, deterministic=True,
                  return_attention=False, attn_only=False):
-        y = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
+        ln = LayerNormPG if self.fused_attention else nn.LayerNorm
+        y = ln(epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
         if return_attention:
             # reference Block.forward(return_attention=True)
             # (modules/transformer.py:124-133): the softmax attention map
@@ -183,7 +205,7 @@ class Block(nn.Module):
             # fused kernel path, models/atst.run_blocks +
             # ops/pallas_mlp.py)
             return x
-        y = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm2")(x)
+        y = ln(epsilon=self.eps, dtype=self.dtype, name="norm2")(x)
         y = Mlp(self.dim, int(self.dim * self.mlp_ratio), self.drop,
                 dtype=self.dtype, name="mlp")(y, deterministic)
         if self.drop_path_rate > 0 and not deterministic:

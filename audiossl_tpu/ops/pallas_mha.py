@@ -63,6 +63,18 @@ MAX_SEQ = 1536
 _BWD_SCRATCH_BYTES = 4 * 1024 * 1024
 
 
+def _bwd_rows() -> int:
+    """Batch rows per backward grid step (A/B via AUDIOSSL_MHA_ROWS).
+    2 gives the scheduler independent per-row dot chains to hide the
+    small-dot (K=64) MXU latencies; falls back to 1 when B is odd."""
+    import os
+
+    try:
+        return max(1, int(os.environ.get("AUDIOSSL_MHA_ROWS", "2")))
+    except ValueError:
+        return 1
+
+
 def _fwd_kernel(x_ref, v_ref, o_ref, r_ref, *, scale, H, d):
     C = H * d
     vrow = v_ref[0, 0].astype(jnp.float32)[:, None]  # [N, 1] key mask
@@ -88,7 +100,7 @@ def _fwd_kernel(x_ref, v_ref, o_ref, r_ref, *, scale, H, d):
 
 
 def _bwd_head(xb, vrow, rcol, og, dog, e, g, *, scale, H, d, dx_ref,
-              ones_col):
+              dx_row=0, ones_col):
     C = H * d
     q = xb[:, g * d:(g + 1) * d]
     k = xb[:, C + g * d:C + (g + 1) * d]
@@ -100,12 +112,20 @@ def _bwd_head(xb, vrow, rcol, og, dog, e, g, *, scale, H, d, dx_ref,
         (dog * og).astype(xb.dtype), ones_col, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dor = (dog * rcol).astype(q.dtype)  # do with 1/den folded in
-    # dp[q, m] = sum_c do[q, c] vz[m, c]  (r folded via dor)
-    dp = jax.lax.dot_general(
-        dor, vzf.astype(v.dtype), (((1,), (1,)), ((), ())),
+    # ONE dot yields dp[q, m] - delta[q] directly: augment dor with a
+    # column carrying -delta*r and vz with a ones column (both land in
+    # the same <=128 MXU contraction pass as the d channels, so the
+    # subtraction is free on the MXU instead of an [N, N] VPU pass).
+    dor_aug = jnp.concatenate(
+        [dor, (-delta * rcol).astype(q.dtype)], axis=1)  # [N, d+1]
+    vz_aug = jnp.concatenate(
+        [vzf, jnp.ones_like(vrow)], axis=1).astype(v.dtype)  # [N, d+1]
+    # dp[q, m] - delta[q] = sum_c do[q, c] vz[m, c] - delta[q]
+    dpd = jax.lax.dot_general(
+        dor_aug, vz_aug, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # [N, N]
-    # ds = p (dp - delta); p = e r -> r already in dp, fold into delta
-    t = (e.astype(jnp.float32) * (dp - delta * rcol)).astype(q.dtype)
+    # ds = p (dp - delta); p = e r -> r folded into dor/delta above
+    t = (e.astype(jnp.float32) * dpd).astype(q.dtype)
     dq = jax.lax.dot_general(
         t, kz, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # [N, d]
@@ -115,22 +135,19 @@ def _bwd_head(xb, vrow, rcol, og, dog, e, g, *, scale, H, d, dx_ref,
     dv = jax.lax.dot_general(
         e, dor, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # p^T do  [N(key), d]
-    dx_ref[0, :, g * d:(g + 1) * d] = dq.astype(dx_ref.dtype)
+    dx_ref[dx_row, :, g * d:(g + 1) * d] = dq.astype(dx_ref.dtype)
     # exact-softmax gradient: invalid keys receive zero grad
-    dx_ref[0, :, C + g * d:C + (g + 1) * d] = (
+    dx_ref[dx_row, :, C + g * d:C + (g + 1) * d] = (
         dk * vrow).astype(dx_ref.dtype)
-    dx_ref[0, :, 2 * C + g * d:2 * C + (g + 1) * d] = (
+    dx_ref[dx_row, :, 2 * C + g * d:2 * C + (g + 1) * d] = (
         dv * vrow).astype(dx_ref.dtype)
 
 
 def _bwd_kernel(x_ref, v_ref, r_ref, o_ref, do_ref, dx_ref, *refs,
-                scale, H, d, two_phase):
+                scale, H, d, two_phase, rows):
     C = H * d
-    vrow = v_ref[0, 0].astype(jnp.float32)[:, None]  # [N, 1]
-    xb = x_ref[0]
-    ones_col = jnp.ones((d, 1), xb.dtype)
 
-    def score_exp(g):
+    def score_exp(xb, vrow, g):
         q = xb[:, g * d:(g + 1) * d]
         k = xb[:, C + g * d:C + (g + 1) * d]
         kz = (k.astype(jnp.float32) * vrow).astype(k.dtype)
@@ -139,17 +156,25 @@ def _bwd_kernel(x_ref, v_ref, r_ref, o_ref, do_ref, dx_ref, *refs,
             preferred_element_type=jnp.float32) * scale
         return jnp.exp(s)
 
-    if two_phase:
-        e_scr, = refs
+    # ``rows`` batch rows per grid step: the per-head dot chains of
+    # different rows are independent, giving the scheduler 2x the
+    # in-flight MXU work to hide small-dot latencies behind
+    for b in range(rows):
+        vrow = v_ref[b, 0].astype(jnp.float32)[:, None]  # [N, 1]
+        xb = x_ref[b]
+        ones_col = jnp.ones((d, 1), xb.dtype)
+        if two_phase:
+            e_scr, = refs
+            for g in range(H):
+                e_scr[b, g] = score_exp(xb, vrow, g).astype(e_scr.dtype)
         for g in range(H):
-            e_scr[g] = score_exp(g).astype(e_scr.dtype)
-    for g in range(H):
-        rcol = r_ref[0, :, g:g + 1]  # [N, 1]
-        og = o_ref[0, :, g * d:(g + 1) * d].astype(jnp.float32)
-        dog = do_ref[0, :, g * d:(g + 1) * d].astype(jnp.float32)
-        e = e_scr[g] if two_phase else score_exp(g).astype(xb.dtype)
-        _bwd_head(xb, vrow, rcol, og, dog, e, g, scale=scale, H=H, d=d,
-                  dx_ref=dx_ref, ones_col=ones_col)
+            rcol = r_ref[b, :, g:g + 1]  # [N, 1]
+            og = o_ref[b, :, g * d:(g + 1) * d].astype(jnp.float32)
+            dog = do_ref[b, :, g * d:(g + 1) * d].astype(jnp.float32)
+            e = (e_scr[b, g] if two_phase
+                 else score_exp(xb, vrow, g).astype(xb.dtype))
+            _bwd_head(xb, vrow, rcol, og, dog, e, g, scale=scale, H=H,
+                      d=d, dx_ref=dx_ref, dx_row=b, ones_col=ones_col)
 
 
 def _to_valid(mask):
@@ -226,27 +251,30 @@ def _mha_bwd(num_heads, scale, interpret, res, g):
     gp = g if Np == N else jnp.pad(g, ((0, 0), (0, Np - N), (0, 0)))
     op = out if out.shape[1] == Np else jnp.pad(
         out, ((0, 0), (0, Np - out.shape[1]), (0, 0)))
-    two_phase = (num_heads * Np * Np * qkv.dtype.itemsize
+    rows = _bwd_rows()
+    if B % rows:
+        rows = 1
+    two_phase = (rows * num_heads * Np * Np * qkv.dtype.itemsize
                  <= _BWD_SCRATCH_BYTES)
-    scratch = ([pltpu.VMEM((num_heads, Np, Np), qkv.dtype)]
+    scratch = ([pltpu.VMEM((rows, num_heads, Np, Np), qkv.dtype)]
                if two_phase else [])
     dx = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, H=num_heads, d=d,
-                          two_phase=two_phase),
-        grid=(B,),
+                          two_phase=two_phase, rows=rows),
+        grid=(B // rows,),
         in_specs=[
-            pl.BlockSpec((1, Np, C3), lambda b: (b, 0, 0),
+            pl.BlockSpec((rows, Np, C3), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Np), lambda b: (b, 0, 0),
+            pl.BlockSpec((rows, 1, Np), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Np, num_heads), lambda b: (b, 0, 0),
+            pl.BlockSpec((rows, Np, num_heads), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Np, C), lambda b: (b, 0, 0),
+            pl.BlockSpec((rows, Np, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Np, C), lambda b: (b, 0, 0),
+            pl.BlockSpec((rows, Np, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Np, C3), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((rows, Np, C3), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Np, C3), qkv.dtype),
         scratch_shapes=scratch,

@@ -242,3 +242,62 @@ def test_encoder_blocks_infer_int8_close_to_float():
     w1 = np.asarray(want[1, :6]); g1 = np.asarray(got[1, :6])
     rel1 = np.abs(g1 - w1) / (np.abs(w1).mean() + 1e-9)
     assert rel1.mean() < 0.02
+
+
+def test_layer_norm_pallas_grad_matches_flax():
+    """ops/pallas_ln.layer_norm: forward bit-comparable to
+    nn.LayerNorm, backward (Pallas interpret mode) matches flax
+    autodiff for dx, dscale, dbias — incl. a row count that does not
+    divide the kernel's block size."""
+    import flax.linen as nn
+    from audiossl_tpu.ops.pallas_ln import layer_norm
+
+    rng = np.random.RandomState(0)
+    B, N, C = 3, 50, 96  # R=150 rows, ragged vs any 8-multiple block
+    x = jnp.asarray(rng.randn(B, N, C).astype(np.float32) * 2.0 + 0.3)
+    scale = jnp.asarray(rng.rand(C).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+
+    ln = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)
+    var = {"params": {"scale": scale, "bias": bias}}
+
+    def loss_ref(x, s, b):
+        y = ln.apply({"params": {"scale": s, "bias": b}}, x)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_pl(x, s, b):
+        y = layer_norm(x, s, b, 1e-6, jnp.float32, True)
+        return jnp.sum(jnp.sin(y))
+
+    y_ref = ln.apply(var, x)
+    y_pl = layer_norm(x, scale, bias, 1e-6, jnp.float32, True)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref),
+                               atol=1e-5)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, scale, bias)
+    gp = jax.grad(loss_pl, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b_, tol in zip(gp, gr, (2e-5, 2e-4, 2e-4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=tol)
+
+
+def test_layer_norm_pg_module_param_compat():
+    """LayerNormPG exposes the same param tree as nn.LayerNorm and
+    computes the same values (bf16 output dtype path included)."""
+    import flax.linen as nn
+    from audiossl_tpu.models.transformer import LayerNormPG
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 7, 32).astype(np.float32))
+    m_pg = LayerNormPG(epsilon=1e-6, dtype=jnp.bfloat16)
+    m_fl = nn.LayerNorm(epsilon=1e-6, dtype=jnp.bfloat16)
+    p_pg = m_pg.init(jax.random.PRNGKey(0), x)["params"]
+    p_fl = m_fl.init(jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree.structure(p_pg) == jax.tree.structure(p_fl)
+    assert all(a.shape == b.shape for a, b in
+               zip(jax.tree.leaves(p_pg), jax.tree.leaves(p_fl)))
+    y_pg = m_pg.apply({"params": p_fl}, x)
+    y_fl = m_fl.apply({"params": p_fl}, x)
+    assert y_pg.dtype == y_fl.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(y_pg, np.float32), np.asarray(y_fl, np.float32),
+        atol=1e-2)
