@@ -57,15 +57,18 @@ def _bwd_block(xf, gf, scale, eps):
 def _bwd_kernel(x_ref, g_ref, s_ref, dx_ref, ds_ref, db_ref, *, eps,
                 n_rows):
     bR = x_ref.shape[0]
-    # zero the cotangent on the final block's padding rows so the
-    # dscale/dbias accumulators see no out-of-bounds garbage (dx writes
-    # there are masked by Pallas; these reductions are not)
+    # zero x/g on the final block's padding rows so the dscale/dbias
+    # accumulators see no out-of-bounds garbage (dx writes there are
+    # masked by Pallas; these reductions are not). MUST be a select,
+    # not a multiply: OOB block padding is undefined and may decode as
+    # NaN/Inf, and NaN * 0 = NaN would poison the reductions (observed
+    # on chip at B=96/base where R % bR != 0 leaves a partial block).
     rows = (jax.lax.broadcasted_iota(jnp.int32, (bR, 1), 0)
             + pl.program_id(0) * bR)
-    live = (rows < n_rows).astype(jnp.float32)
-    gf = g_ref[...].astype(jnp.float32) * live
+    live = rows < n_rows
+    gf = jnp.where(live, g_ref[...].astype(jnp.float32), 0.0)
     dx, dscale, dbias = _bwd_block(
-        x_ref[...].astype(jnp.float32) * live, gf,
+        jnp.where(live, x_ref[...].astype(jnp.float32), 0.0), gf,
         s_ref[0].astype(jnp.float32), eps)
     dx_ref[...] = dx.astype(dx_ref.dtype)
 

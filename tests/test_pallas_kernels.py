@@ -280,6 +280,57 @@ def test_layer_norm_pallas_grad_matches_flax():
                                    atol=tol)
 
 
+def test_layer_norm_bwd_dead_rows_nan_immune():
+    """The LN backward kernel's dscale/dbias reductions must be immune
+    to garbage in the padding rows of a partial final block: Pallas
+    out-of-bounds block reads are undefined on TPU and were observed to
+    decode as NaN at B=96/ViT-base (a `garbage * 0` mask kept the NaN;
+    the kernel must select, not multiply). Simulated here by invoking
+    the kernel with explicit NaN rows beyond n_rows."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from audiossl_tpu.ops.pallas_ln import _bwd_kernel
+
+    rng = np.random.RandomState(3)
+    R_live, bR, C = 12, 16, 32
+    x = rng.randn(bR, C).astype(np.float32)
+    g = rng.randn(bR, C).astype(np.float32)
+    x[R_live:] = np.nan  # the undefined OOB padding
+    g[R_live:] = np.inf
+    scale = (rng.rand(1, C) + 0.5).astype(np.float32)
+    blk = pl.BlockSpec((bR, C), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    acc = pl.BlockSpec((1, C), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM)
+    dx, ds, db = pl.pallas_call(
+        functools.partial(_bwd_kernel, eps=1e-6, n_rows=R_live),
+        grid=(1,),
+        in_specs=[blk, blk, acc],
+        out_specs=[blk, acc, acc],
+        out_shape=[jax.ShapeDtypeStruct((bR, C), jnp.float32),
+                   jax.ShapeDtypeStruct((1, C), jnp.float32),
+                   jax.ShapeDtypeStruct((1, C), jnp.float32)],
+        interpret=True,
+    )(jnp.asarray(x), jnp.asarray(g), jnp.asarray(scale))
+    assert np.isfinite(np.asarray(ds)).all()
+    assert np.isfinite(np.asarray(db)).all()
+    assert np.isfinite(np.asarray(dx)[:R_live]).all()
+    # live-row values match the pure-math block on the live slice
+    from audiossl_tpu.ops.pallas_ln import _bwd_block
+
+    dx_ref, ds_ref, db_ref = _bwd_block(
+        jnp.asarray(x[:R_live]), jnp.asarray(g[:R_live]),
+        jnp.asarray(scale[0]), 1e-6)
+    np.testing.assert_allclose(np.asarray(dx)[:R_live],
+                               np.asarray(dx_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ds)[0], np.asarray(ds_ref),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(db)[0], np.asarray(db_ref),
+                               atol=1e-4)
+
+
 def test_layer_norm_pg_module_param_compat():
     """LayerNormPG exposes the same param tree as nn.LayerNorm and
     computes the same values (bf16 output dtype path included)."""
