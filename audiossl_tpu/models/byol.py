@@ -38,9 +38,12 @@ class MLPHead(nn.Module):
     def __call__(self, x, train: bool = True, mask=None):
         x = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
                      name="fc0")(x)
+        # x stays in ``dtype`` (bf16 on TPU): BatchNorm1d computes its
+        # statistics/normalize in f32 internally and returns the input
+        # dtype, so the [R, hidden] activation is never materialized in
+        # f32 (halves the head's HBM traffic; torch-AMP BN semantics)
         x = BatchNorm1d(self.hidden_dim, affine=True, name="bn0")(
-            x.astype(jnp.float32), use_running_average=not train,
-            mask=mask)
+            x, use_running_average=not train, mask=mask)
         x = nn.relu(x)
         x = nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
                      name="fc1")(x)

@@ -40,6 +40,14 @@ class BatchNorm1d(nn.Module):
             scale = self.param("scale", nn.initializers.ones, (self.features,))
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
+        # statistics and normalization always compute in f32; the input
+        # may be a bf16 tensor (the BYOL heads keep fc0's [R, 4096]
+        # activation in bf16 — HALF the HBM traffic of an f32
+        # materialization; the per-element upcasts fuse into the
+        # reductions/normalize, so nothing f32-sized hits HBM). This is
+        # torch-AMP BN semantics: f32 statistics over lower-precision
+        # activations.
+        xf = x.astype(jnp.float32)
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
@@ -47,13 +55,13 @@ class BatchNorm1d(nn.Module):
             if mask is None:
                 n = jnp.asarray(
                     jnp.prod(jnp.asarray(x.shape[:-1])), jnp.float32)
-                mean = jnp.mean(x, axis=reduce_axes)
-                var = jnp.mean((x - mean) ** 2, axis=reduce_axes)
+                mean = jnp.mean(xf, axis=reduce_axes)
+                var = jnp.mean((xf - mean) ** 2, axis=reduce_axes)
             else:
-                w = mask.astype(x.dtype)[..., None]
+                w = mask.astype(jnp.float32)[..., None]
                 n = jnp.sum(w)
-                mean = jnp.sum(x * w, axis=reduce_axes) / n
-                var = jnp.sum(((x - mean) ** 2) * w, axis=reduce_axes) / n
+                mean = jnp.sum(xf * w, axis=reduce_axes) / n
+                var = jnp.sum(((xf - mean) ** 2) * w, axis=reduce_axes) / n
             if not self.is_initializing():
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + \
@@ -61,7 +69,7 @@ class BatchNorm1d(nn.Module):
                 ra_var.value = (1 - self.momentum) * ra_var.value + \
                     self.momentum * unbiased
 
-        y = (x - mean) / jnp.sqrt(var + self.eps)
+        y = (xf - mean) / jnp.sqrt(var + self.eps)
         if self.affine:
             y = y * scale + bias
-        return y
+        return y.astype(x.dtype)

@@ -145,7 +145,7 @@ def _attn_core(xf, vrow_k, vrow_v, dot_qkv, dot_proj, dp, lns, lnb,
 
 def _attn_kernel(x_ref, v_ref, v2_ref, dp_ref, lns_ref, lnb_ref,
                  wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, o_ref, *,
-                 H, scale, eps):
+                 H, scale, eps, rows=1):
     cdt = wqkv_ref.dtype  # compute dtype follows the weights
 
     def dot_qkv(h):
@@ -158,23 +158,27 @@ def _attn_kernel(x_ref, v_ref, v2_ref, dp_ref, lns_ref, lnb_ref,
             o.astype(cdt), wproj_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) + bproj_ref[0]
 
-    o_ref[0] = _attn_core(
-        x_ref[0].astype(jnp.float32), v_ref[0, 0].astype(jnp.float32),
-        v2_ref[0, 0].astype(jnp.float32),
-        dot_qkv, dot_proj, dp_ref[0, 0, 0], lns_ref[0], lnb_ref[0],
-        cdt, H=H, scale=scale, eps=eps).astype(o_ref.dtype)
+    for b in range(rows):  # independent per-row chains overlap VPU/MXU
+        o_ref[b] = _attn_core(
+            x_ref[b].astype(jnp.float32),
+            v_ref[b, 0].astype(jnp.float32),
+            v2_ref[b, 0].astype(jnp.float32),
+            dot_qkv, dot_proj, dp_ref[b, 0, 0], lns_ref[0], lnb_ref[0],
+            cdt, H=H, scale=scale, eps=eps).astype(o_ref.dtype)
 
 
 def _attn_kernel_q8(x_ref, v_ref, v2_ref, dp_ref, lns_ref, lnb_ref,
                     wqkv_ref, sqkv_ref, bqkv_ref, wproj_ref, sproj_ref,
-                    bproj_ref, o_ref, *, H, scale, eps):
-    o_ref[0] = _attn_core(
-        x_ref[0].astype(jnp.float32), v_ref[0, 0].astype(jnp.float32),
-        v2_ref[0, 0].astype(jnp.float32),
-        lambda h: _q8_dot(h, wqkv_ref, sqkv_ref) + bqkv_ref[0],
-        lambda o: _q8_dot(o, wproj_ref, sproj_ref) + bproj_ref[0],
-        dp_ref[0, 0, 0], lns_ref[0], lnb_ref[0], jnp.bfloat16,
-        H=H, scale=scale, eps=eps).astype(o_ref.dtype)
+                    bproj_ref, o_ref, *, H, scale, eps, rows=1):
+    for b in range(rows):
+        o_ref[b] = _attn_core(
+            x_ref[b].astype(jnp.float32),
+            v_ref[b, 0].astype(jnp.float32),
+            v2_ref[b, 0].astype(jnp.float32),
+            lambda h: _q8_dot(h, wqkv_ref, sqkv_ref) + bqkv_ref[0],
+            lambda o: _q8_dot(o, wproj_ref, sproj_ref) + bproj_ref[0],
+            dp_ref[b, 0, 0], lns_ref[0], lnb_ref[0], jnp.bfloat16,
+            H=H, scale=scale, eps=eps).astype(o_ref.dtype)
 
 
 def _mlp_core(xf, dot1, dot2, dp, lns, lnb, *, eps):
@@ -186,7 +190,7 @@ def _mlp_core(xf, dot1, dot2, dp, lns, lnb, *, eps):
 
 
 def _mlp_kernel(x_ref, dp_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
-                w2_ref, b2_ref, o_ref, *, eps):
+                w2_ref, b2_ref, o_ref, *, eps, rows=1):
     cdt = w1_ref.dtype
 
     def dot1(h):
@@ -199,26 +203,30 @@ def _mlp_kernel(x_ref, dp_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
             a.astype(cdt), w2_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) + b2_ref[0]
 
-    o_ref[0] = _mlp_core(
-        x_ref[0].astype(jnp.float32), dot1, dot2, dp_ref[0, 0, 0],
-        lns_ref[0], lnb_ref[0], eps=eps).astype(o_ref.dtype)
+    for b in range(rows):  # the [N, 4C] gelu VPU chain of row b can
+        # overlap row b+1's MXU dots when rows > 1
+        o_ref[b] = _mlp_core(
+            x_ref[b].astype(jnp.float32), dot1, dot2, dp_ref[b, 0, 0],
+            lns_ref[0], lnb_ref[0], eps=eps).astype(o_ref.dtype)
 
 
 def _mlp_kernel_q8(x_ref, dp_ref, lns_ref, lnb_ref, w1_ref, s1_ref,
-                   b1_ref, w2_ref, s2_ref, b2_ref, o_ref, *, eps):
-    xf = x_ref[0].astype(jnp.float32)
-    h = _ln(xf, lns_ref[0], lnb_ref[0], eps)
-    u = _q8_dot(h, w1_ref, s1_ref) + b1_ref[0]
-    a = 0.5 * u * (1.0 + _erf(u * 0.7071067811865476))
-    # |gelu(u)| <= max(gelu(rowmax(u)), 0.17): gelu is monotone above
-    # its minimum (~-0.17 at u~-0.75), so ONE reduce over the
-    # pre-activation bounds the activation rows — _q8_act then skips
-    # its own abs+max pass over the [N, 4C] block.
-    umax = jnp.max(u, axis=-1, keepdims=True)
-    gmax = 0.5 * umax * (1.0 + _erf(umax * 0.7071067811865476))
-    bound = jnp.maximum(gmax, 0.17)
-    y = _q8_dot(a, w2_ref, s2_ref, bound=bound) + b2_ref[0]
-    o_ref[0] = (xf + y * dp_ref[0, 0, 0]).astype(o_ref.dtype)
+                   b1_ref, w2_ref, s2_ref, b2_ref, o_ref, *, eps,
+                   rows=1):
+    for b in range(rows):
+        xf = x_ref[b].astype(jnp.float32)
+        h = _ln(xf, lns_ref[0], lnb_ref[0], eps)
+        u = _q8_dot(h, w1_ref, s1_ref) + b1_ref[0]
+        a = 0.5 * u * (1.0 + _erf(u * 0.7071067811865476))
+        # |gelu(u)| <= max(gelu(rowmax(u)), 0.17): gelu is monotone
+        # above its minimum (~-0.17 at u~-0.75), so ONE reduce over
+        # the pre-activation bounds the activation rows — _q8_act then
+        # skips its own abs+max pass over the [N, 4C] block.
+        umax = jnp.max(u, axis=-1, keepdims=True)
+        gmax = 0.5 * umax * (1.0 + _erf(umax * 0.7071067811865476))
+        bound = jnp.maximum(gmax, 0.17)
+        y = _q8_dot(a, w2_ref, s2_ref, bound=bound) + b2_ref[0]
+        o_ref[b] = (xf + y * dp_ref[b, 0, 0]).astype(o_ref.dtype)
 
 
 def _row(x):
@@ -246,6 +254,18 @@ def _wspec(shape, const):
                         memory_space=pltpu.VMEM)
 
 
+def _block_rows(B: int) -> int:
+    """Batch rows per grid step for the whole-block inference kernels
+    (A/B via AUDIOSSL_BLOCK_ROWS; default 1). Must divide B."""
+    import os
+
+    try:
+        r = max(1, int(os.environ.get("AUDIOSSL_BLOCK_ROWS", "1")))
+    except ValueError:
+        r = 1
+    return r if B % r == 0 else 1
+
+
 def attn_block_infer(x, valid, p, num_heads, eps=1e-6, dp=None,
                      quant=None, interpret=False):
     """x: [B, N, C] (N a 128-multiple), valid: [B, N] 0/1 key mask,
@@ -266,18 +286,19 @@ def attn_block_infer(x, valid, p, num_heads, eps=1e-6, dp=None,
             else bqkv.astype(jnp.float32))
     bproj = p["attn"]["proj"]["bias"].astype(jnp.float32)
     const = _const
+    rows = _block_rows(B)
     if quant == "int8":
         wqkv, sqkv = quantize_weight_q8(p["attn"]["qkv"]["kernel"])
         wproj, sproj = quantize_weight_q8(p["attn"]["proj"]["kernel"])
         kernel = functools.partial(_attn_kernel_q8, H=num_heads,
-                                   scale=d ** -0.5, eps=eps)
+                                   scale=d ** -0.5, eps=eps, rows=rows)
         w_ops = [wqkv, sqkv, _row(bqkv), wproj, sproj, _row(bproj)]
         w_specs = [_wspec((C, 3 * C), const), _wspec((1, 3 * C), const),
                    _wspec((1, 3 * C), const), _wspec((C, C), const),
                    _wspec((1, C), const), _wspec((1, C), const)]
     else:
         kernel = functools.partial(_attn_kernel, H=num_heads,
-                                   scale=d ** -0.5, eps=eps)
+                                   scale=d ** -0.5, eps=eps, rows=rows)
         w_ops = [p["attn"]["qkv"]["kernel"].astype(cdt), _row(bqkv),
                  p["attn"]["proj"]["kernel"].astype(cdt), _row(bproj)]
         w_specs = [_wspec((C, 3 * C), const), _wspec((1, 3 * C), const),
@@ -291,20 +312,20 @@ def attn_block_infer(x, valid, p, num_heads, eps=1e-6, dp=None,
         validf, jnp.ones_like(validf))
     return pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // rows,),
         in_specs=[
-            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+            pl.BlockSpec((rows, N, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
+            pl.BlockSpec((rows, 1, N), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
+            pl.BlockSpec((rows, 1, N), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0),
+            pl.BlockSpec((rows, 1, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), const(0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), const(0, 0), memory_space=pltpu.VMEM),
         ] + w_specs,
-        out_specs=pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((rows, N, C), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
         cost_estimate=pl.CostEstimate(
@@ -338,32 +359,33 @@ def mlp_block_infer(x, p, eps=1e-6, dp=None, quant=None,
     b2 = p["mlp"]["fc2"]["bias"].astype(jnp.float32)
     Hd = p["mlp"]["fc1"]["kernel"].shape[1]
     const = _const
+    rows = _block_rows(B)
     if quant == "int8":
         w1, s1 = quantize_weight_q8(p["mlp"]["fc1"]["kernel"])
         w2, s2 = quantize_weight_q8(p["mlp"]["fc2"]["kernel"])
-        kernel = functools.partial(_mlp_kernel_q8, eps=eps)
+        kernel = functools.partial(_mlp_kernel_q8, eps=eps, rows=rows)
         w_ops = [w1, s1, _row(b1), w2, s2, _row(b2)]
         w_specs = [_wspec((C, Hd), const), _wspec((1, Hd), const),
                    _wspec((1, Hd), const), _wspec((Hd, C), const),
                    _wspec((1, C), const), _wspec((1, C), const)]
     else:
-        kernel = functools.partial(_mlp_kernel, eps=eps)
+        kernel = functools.partial(_mlp_kernel, eps=eps, rows=rows)
         w_ops = [p["mlp"]["fc1"]["kernel"].astype(cdt), _row(b1),
                  p["mlp"]["fc2"]["kernel"].astype(cdt), _row(b2)]
         w_specs = [_wspec((C, Hd), const), _wspec((1, Hd), const),
                    _wspec((Hd, C), const), _wspec((1, C), const)]
     return pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // rows,),
         in_specs=[
-            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+            pl.BlockSpec((rows, N, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0),
+            pl.BlockSpec((rows, 1, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), const(0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), const(0, 0), memory_space=pltpu.VMEM),
         ] + w_specs,
-        out_specs=pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((rows, N, C), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
         cost_estimate=pl.CostEstimate(

@@ -137,6 +137,38 @@ def test_encoder_blocks_infer_matches_flax():
                                np.asarray(got[0]), atol=1e-6)
 
 
+@pytest.mark.slow
+def test_encoder_blocks_infer_rows2_matches_rows1(monkeypatch):
+    """AUDIOSSL_BLOCK_ROWS=2 (two batch rows per grid step in the
+    whole-block inference kernels) is numerically identical to the
+    default one-row grid."""
+    from audiossl_tpu.models.atst import AudioTransformer
+    from audiossl_tpu.ops.pallas_block import encoder_blocks_infer
+
+    enc = AudioTransformer(embed_dim=64, depth=2, num_heads=2,
+                           spec_h=64, spec_w=40, use_cls=False,
+                           drop_path_rate=0.0)
+    rng = np.random.RandomState(2)
+    mel = jnp.asarray(rng.randn(2, 64, 40).astype(np.float32))
+    lengths = jnp.asarray([40, 24])
+    params = enc.init(jax.random.PRNGKey(0), mel, length=lengths,
+                      deterministic=True)["params"]
+    x = jnp.asarray(rng.randn(4, 10, 64).astype(np.float32))
+    tok_len = jnp.asarray([10, 6, 8, 10])
+    args = (params, x, tok_len, enc.num_heads, enc.depth)
+    monkeypatch.setenv("AUDIOSSL_BLOCK_ROWS", "1")
+    want, _ = encoder_blocks_infer(*args, eps=enc.eps, interpret=True)
+    monkeypatch.setenv("AUDIOSSL_BLOCK_ROWS", "2")
+    got, _ = encoder_blocks_infer(*args, eps=enc.eps, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6)
+    # rows that don't divide B fall back to 1 instead of failing
+    monkeypatch.setenv("AUDIOSSL_BLOCK_ROWS", "3")
+    got3, _ = encoder_blocks_infer(*args, eps=enc.eps, interpret=True)
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(want),
+                               atol=1e-6)
+
+
 def test_fused_mlp_block_fwd_bwd_interpret():
     """Trainable fused MLP sub-block (ops/pallas_mlp.py): value and
     all gradients vs the XLA reference path (f32, interpret mode)."""
