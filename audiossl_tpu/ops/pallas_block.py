@@ -256,11 +256,14 @@ def _wspec(shape, const):
 
 def _block_rows(B: int) -> int:
     """Batch rows per grid step for the whole-block inference kernels
-    (A/B via AUDIOSSL_BLOCK_ROWS; default 1). Must divide B."""
+    (A/B via AUDIOSSL_BLOCK_ROWS; default 2 — measured +0.7% over 1 on
+    the r4 chip A/B, 354.72 vs 352.33 clips/s at B=96: two batch rows
+    per grid step halve the per-step weight-block DMA re-fetch).
+    Must divide B (falls back to 1 when it does not)."""
     import os
 
     try:
-        r = max(1, int(os.environ.get("AUDIOSSL_BLOCK_ROWS", "1")))
+        r = max(1, int(os.environ.get("AUDIOSSL_BLOCK_ROWS", "2")))
     except ValueError:
         r = 1
     return r if B % r == 0 else 1

@@ -119,8 +119,13 @@ def _bwd_pallas(x, g, scale, eps, interpret):
 def _use_pallas_bwd() -> bool:
     import os
 
+    # Default OFF: the r4 chip A/B measured the XLA LN backward FASTER
+    # end-to-end (357.97 vs 352.33 clips/s at B=96) — the custom-call
+    # boundary forces layout copies that outweigh the single-pass win
+    # (docs/PROFILE.md "kernel A/Bs after the LN-backward NaN fix").
+    # AUDIOSSL_PALLAS_LN=1 re-enables the Pallas path.
     return (jax.default_backend() == "tpu"
-            and os.environ.get("AUDIOSSL_PALLAS_LN", "1") != "0")
+            and os.environ.get("AUDIOSSL_PALLAS_LN", "0") == "1")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
