@@ -184,7 +184,10 @@ def stft_conv(wav: jnp.ndarray, cfg: MelConfig = MelConfig(),
     rows F..2F-1 the imaginary part.
 
     ``pad_frames_to`` (>= T) emits that many frames directly — the
-    extra frames read the zero extension and yield zero power. Padding
+    extra frames are GARBAGE that callers must slice off or mask
+    (frames just past T still overlap the right reflect tail, so they
+    carry nonzero power; only frames far enough into the zero
+    extension are zero). Both in-tree callers slice [:T]. Padding
     the frame COUNT before the matmul costs +(Tp-T)/T flops; padding
     the [B, 2F, T] f32 OUTPUT afterwards (what the Pallas postprocess
     kernel otherwise forces) costs a full-tensor HBM round trip

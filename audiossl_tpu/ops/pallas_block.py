@@ -40,22 +40,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _rcp(x):
+def _rcp(x, hi=False):
     """Reciprocal via the VPU's approximate-reciprocal (~2^-8 rel err)
-    plus ONE Newton step (error squares to ~1.5e-5): ~4 cheap VPU ops
-    where a true divide on a full [M, 4C] block costs several times a
-    multiply per element."""
+    plus Newton steps: ~4 cheap VPU ops where a true divide on a full
+    [M, 4C] block costs several times a multiply per element. One
+    Newton step squares the error to ~1.5e-5 — fine when the result
+    feeds a bf16 cast; ``hi=True`` (f32 COMPUTE paths, i.e. f32
+    weights — the erf input itself is always an f32 accumulator, so
+    the caller must gate on the weight dtype, not on x.dtype) adds a
+    second step, squaring the error to ~2e-10, below f32 round-off."""
     t = pl.reciprocal(x, approx=True)
-    return t * (2.0 - x * t)
+    t = t * (2.0 - x * t)
+    if hi:
+        t = t * (2.0 - x * t)
+    return t
 
 
-def _erf(x):
-    """Abramowitz & Stegun 7.1.26 (|err| < ~2e-5 with the NR-refined
-    reciprocal — far below the bf16 working precision these
-    activations are cast to); Mosaic has no erf/erfc primitive."""
+def _erf(x, hi=False):
+    """Abramowitz & Stegun 7.1.26 (|err| ~1.5e-7 of the polynomial
+    itself; the NR-refined reciprocal adds ~2e-5 unless ``hi`` — pass
+    ``hi=True`` on f32-weight paths so the parity margin vs a true erf
+    stays at the polynomial's own ~1.5e-7, see _rcp); Mosaic has no
+    erf/erfc primitive."""
     s = jnp.sign(x)
     a = jnp.abs(x)
-    t = _rcp(1.0 + 0.3275911 * a)
+    t = _rcp(1.0 + 0.3275911 * a, hi=hi)
     poly = t * (0.254829592 + t * (-0.284496736 + t * (
         1.421413741 + t * (-1.453152027 + t * 1.061405429))))
     return s * (1.0 - poly * jnp.exp(-a * a))
@@ -181,11 +190,11 @@ def _attn_kernel_q8(x_ref, v_ref, v2_ref, dp_ref, lns_ref, lnb_ref,
             H=H, scale=scale, eps=eps).astype(o_ref.dtype)
 
 
-def _mlp_core(xf, dot1, dot2, dp, lns, lnb, *, eps):
+def _mlp_core(xf, dot1, dot2, dp, lns, lnb, *, eps, hi=False):
     h = _ln(xf, lns, lnb, eps)
     a = dot1(h)
     # exact GELU: 0.5 x (1 + erf(x/sqrt(2)))
-    a = 0.5 * a * (1.0 + _erf(a * 0.7071067811865476))
+    a = 0.5 * a * (1.0 + _erf(a * 0.7071067811865476, hi=hi))
     return xf + dot2(a) * dp
 
 
@@ -207,7 +216,8 @@ def _mlp_kernel(x_ref, dp_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
         # overlap row b+1's MXU dots when rows > 1
         o_ref[b] = _mlp_core(
             x_ref[b].astype(jnp.float32), dot1, dot2, dp_ref[b, 0, 0],
-            lns_ref[0], lnb_ref[0], eps=eps).astype(o_ref.dtype)
+            lns_ref[0], lnb_ref[0], eps=eps,
+            hi=cdt == jnp.float32).astype(o_ref.dtype)
 
 
 def _mlp_kernel_q8(x_ref, dp_ref, lns_ref, lnb_ref, w1_ref, s1_ref,

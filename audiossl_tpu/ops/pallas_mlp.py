@@ -57,13 +57,14 @@ _INV_SQRT2 = 0.7071067811865476
 _INV_SQRT_2PI = 0.3989422804014327
 
 
-def _erf_from_exp(x, ex2):
+def _erf_from_exp(x, ex2, hi=False):
     """A&S 7.1.26 erf(x) given a precomputed exp(-x*x). NR-refined
-    approximate VPU reciprocal for the rational term (see
+    approximate VPU reciprocal for the rational term; ``hi=True`` on
+    f32-weight paths adds a second Newton step (see
     pallas_block._rcp)."""
     s = jnp.sign(x)
     a = jnp.abs(x)
-    t = _rcp(1.0 + 0.3275911 * a)
+    t = _rcp(1.0 + 0.3275911 * a, hi=hi)
     poly = t * (0.254829592 + t * (-0.284496736 + t * (
         1.421413741 + t * (-1.453152027 + t * 1.061405429))))
     return s * (1.0 - poly * ex2)
@@ -104,7 +105,8 @@ def _fwd_kernel(x_ref, dp_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref,
         preferred_element_type=jnp.float32) + b1_ref[0]  # [mb*N, 4C] f32
     u_ref[...] = u.astype(u_ref.dtype).reshape(mb, N, Hd)
     ex2 = jnp.exp(-u * u * 0.5)
-    a = (0.5 * u * (1.0 + _erf_from_exp(u * _INV_SQRT2, ex2))).astype(cdt)
+    a = (0.5 * u * (1.0 + _erf_from_exp(
+        u * _INV_SQRT2, ex2, hi=cdt == jnp.float32))).astype(cdt)
     y = jax.lax.dot_general(
         a, w2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + b2_ref[0]
@@ -137,7 +139,7 @@ def _bwd_kernel(x_ref, dy_ref, u_ref, dp_ref, ls_ref, lb_ref, w1_ref,
     # the gaussian pdf share one exp(-u^2/2)
     u = u_ref[...].reshape(mb * N, Hd).astype(jnp.float32)
     ex2 = jnp.exp(-u * u * 0.5)
-    erf_t = _erf_from_exp(u * _INV_SQRT2, ex2)
+    erf_t = _erf_from_exp(u * _INV_SQRT2, ex2, hi=cdt == jnp.float32)
     half_cdf = 0.5 * (1.0 + erf_t)
     a = (u * half_cdf).astype(cdt)                   # gelu(u)
     gp = half_cdf + u * _INV_SQRT_2PI * ex2           # gelu'(u)

@@ -203,7 +203,14 @@ def fused_adamw_ema_pallas(params, grads, opt_state, teacher, lr, wd,
 def fused_opt_available() -> bool:
     """Pallas optimizer path: single-TPU programs only — the custom
     call has no SPMD partitioning rule, so sharded (ZeRO-1) state
-    stays on the XLA elementwise path (parallel/mesh.py)."""
+    stays on the XLA elementwise path (parallel/mesh.py).
+
+    Default OFF: the round-4 end-to-end A/B measured the XLA
+    elementwise path marginally faster (353.52 vs 352.33 clips/s —
+    the kernel reaches its ~8.7 ms HBM floor but custom-call boundary
+    copies eat the win; docs/PROFILE.md round-4 A/B table). Opt in
+    with AUDIOSSL_FUSED_OPT=1; re-evaluate if the boundary-copy
+    bucket shrinks."""
     return (jax.default_backend() == "tpu"
-            and os.environ.get("AUDIOSSL_FUSED_OPT", "1") != "0"
+            and os.environ.get("AUDIOSSL_FUSED_OPT", "0") == "1"
             and len(jax.devices()) == 1)

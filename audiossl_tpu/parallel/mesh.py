@@ -55,6 +55,13 @@ def init_multihost(force: bool = False) -> bool:
     # bare-metal pods) pass them through explicitly.
     nproc = os.environ.get("JAX_NUM_PROCESSES")
     pid = os.environ.get("JAX_PROCESS_ID")
+    if (nproc is None) != (pid is None):
+        missing = "JAX_PROCESS_ID" if pid is None else "JAX_NUM_PROCESSES"
+        present = "JAX_NUM_PROCESSES" if pid is None else "JAX_PROCESS_ID"
+        raise RuntimeError(
+            f"init_multihost: {present} is set but {missing} is not — "
+            "set both (explicit plain-env launch) or neither (cluster "
+            "auto-detection)")
     jax.distributed.initialize(
         num_processes=int(nproc) if nproc is not None else None,
         process_id=int(pid) if pid is not None else None)
@@ -236,11 +243,21 @@ def downstream_spmd(state):
                     lambda x: jax.make_array_from_process_local_data(
                         repl_sh, np.asarray(x)), tree)
 
+            # Rows this process owns = the mesh positions of its
+            # addressable devices (in ascending global order, which is
+            # the layout make_array_from_process_local_data expects).
+            # Derived rather than assumed pid-contiguous: device order
+            # in a mesh can interleave processes.
+            my_pos = [i for i, d in enumerate(mesh.devices.flat)
+                      if d.process_index == pid]
+
             def put(x):
                 x = np.asarray(x)
-                per = x.shape[0] // nproc
+                per = x.shape[0] // ndev
+                rows = np.concatenate(
+                    [np.arange(i * per, (i + 1) * per) for i in my_pos])
                 return jax.make_array_from_process_local_data(
-                    data_sh, x[pid * per:(pid + 1) * per])
+                    data_sh, np.ascontiguousarray(x[rows]))
 
             return jax.tree.map(put, tree)
 

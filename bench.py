@@ -102,7 +102,14 @@ def _measure(step, state, batch, B, iters=12, windows=3):
 def bench_clip_small():
     """ATST-Clip small pretraining throughput (reference
     methods/atst/train_small.sh: 6 s crops out of 10 s clips, Mixup +
-    RandomResizeCrop on both views)."""
+    RandomResizeCrop on both views).
+
+    vs_baseline is None: the 144 clips/s baseline is the ATST-Frame
+    BASE per-GPU recipe rate and does not transfer to ViT-small on
+    6 s crops (a GPU runs the small recipe far faster); no measured
+    clip-small GPU number exists in this environment, so we print the
+    absolute throughput only rather than a ratio against the wrong
+    denominator."""
     from audiossl_tpu.methods.atst.method import (
         ClipMethod,
         ClipPretrainConfig,
@@ -129,7 +136,7 @@ def bench_clip_small():
         "metric": "atst_clip_small_pretrain_clips_per_sec_per_chip",
         "value": round(cps, 2),
         "unit": "clips/s/chip",
-        "vs_baseline": round(cps / BASELINE_CLIPS_PER_SEC, 3),
+        "vs_baseline": None,  # no valid clip-small GPU denominator
     }))
 
 
