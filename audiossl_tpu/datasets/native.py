@@ -65,6 +65,14 @@ def get_lib():
             np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ]
+        lib.ards_read_batch_i16.restype = ctypes.c_int
+        lib.ards_read_batch_i16.argtypes = [
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.c_long, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ]
         lib.ards_close.argtypes = [ctypes.c_void_p]
         _LIB = lib
         return _LIB
@@ -89,14 +97,26 @@ class NativeReader:
         return int(self._lib.ards_num_samples(self._h, i))
 
     def read_batch(self, indices, pad_samples: int,
-                   n_threads: int = 8):
-        """-> (wav [n, pad_samples] float32, valid [n] int32)."""
+                   n_threads: int = 8, dtype=np.float32):
+        """-> (wav [n, pad_samples] float32|int16, valid [n] int32).
+
+        dtype=np.int16 emits raw 16-bit samples (float32 records are
+        re-quantized) — half the batch bytes; the device dequantizes
+        with the identical /32768 scale (transforms.augment.wav_to_f32),
+        so the f32 values match the float path bitwise for int16
+        stores."""
         idx = np.ascontiguousarray(indices, np.int64)
         n = len(idx)
-        wav = np.empty((n, pad_samples), np.float32)
         valid = np.empty((n,), np.int32)
-        rc = self._lib.ards_read_batch(self._h, idx, n, pad_samples,
-                                       n_threads, wav, valid)
+        if np.dtype(dtype) == np.int16:
+            wav = np.empty((n, pad_samples), np.int16)
+            rc = self._lib.ards_read_batch_i16(self._h, idx, n,
+                                               pad_samples, n_threads,
+                                               wav, valid)
+        else:
+            wav = np.empty((n, pad_samples), np.float32)
+            rc = self._lib.ards_read_batch(self._h, idx, n, pad_samples,
+                                           n_threads, wav, valid)
         if rc != 0:
             raise IOError(f"ards_read_batch failed with code {rc}")
         return wav, valid
@@ -124,8 +144,10 @@ class NativeBatchLoader:
 
     def __init__(self, dataset, batch_size: int, pad_samples: int,
                  shuffle: bool = True, seed: int = 0, epoch: int = 0,
-                 n_threads: int = 8, prefetch: int = 2):
+                 n_threads: int = 8, prefetch: int = 2,
+                 wav_dtype=np.float32):
         pack_path = dataset.reader.path
+        self.wav_dtype = np.dtype(wav_dtype)
         self.keys = np.asarray(dataset.keys, np.int64)
         self.reader = NativeReader(pack_path)
         self.batch_size = batch_size
@@ -146,7 +168,8 @@ class NativeBatchLoader:
         sel = self.keys[order[b * self.batch_size:
                               (b + 1) * self.batch_size]]
         wav, valid = self.reader.read_batch(sel, self.pad_samples,
-                                            self.n_threads)
+                                            self.n_threads,
+                                            dtype=self.wav_dtype)
         return {"wav": wav, "valid": valid}
 
     def __iter__(self):

@@ -124,6 +124,21 @@ class PackedReader:
             bytes(self._mm[lo: lo + _HEADER.size]))
         return wav_bytes // np.dtype(_DTYPES[code]).itemsize // max(ch, 1)
 
+    def dtype_code(self, i: int) -> int:
+        """Record i's stored sample dtype: 0=int16, 1=float32."""
+        lo = int(self.offsets[i])
+        return _HEADER.unpack(bytes(self._mm[lo: lo + _HEADER.size]))[2]
+
+    def all_int16(self, probe: int = 256) -> bool:
+        """True when every probed record stores int16 samples (headers
+        of up to ``probe`` evenly spaced records) — the loaders use
+        this to pick the lossless int16 host->device emit path."""
+        n = len(self)
+        if n == 0:
+            return False
+        idx = np.unique(np.linspace(0, n - 1, min(probe, n)).astype(int))
+        return all(self.dtype_code(int(i)) == 0 for i in idx)
+
 
 class PackedAudioDataset:
     """Reference ``LMDBDataset`` equivalent over a .ards pack."""

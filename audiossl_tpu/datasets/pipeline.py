@@ -33,7 +33,8 @@ class BatchLoader:
                  seed: int = 0, num_threads: int = 8,
                  prefetch: int = 2, epoch: int = 0,
                  include_labels: bool = True, weights=None,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 wav_dtype=np.float32):
         """batch_size is the GLOBAL batch; with process_count > 1 each
         process reads only its contiguous slice of every (identically
         shuffled) global batch and yields batch_size // process_count
@@ -54,6 +55,13 @@ class BatchLoader:
         self.prefetch = prefetch
         self.epoch = epoch
         self.include_labels = include_labels
+        # int16 emit halves host->device batch bytes; the device
+        # dequantizes with the identical /32768 scale
+        # (transforms.augment.wav_to_f32) so int16-stored samples are
+        # bitwise-identical to the float path. float32-returning
+        # datasets are re-quantized to 16 bits (source audio is 16-bit
+        # PCM in practice).
+        self.wav_dtype = np.dtype(wav_dtype)
         # per-sample sampling weights (reference WeightedRandomSampler
         # with replacement for AudioSet finetuning,
         # downstream/train_finetune.py:48-110)
@@ -70,8 +78,11 @@ class BatchLoader:
         wav, label = self.dataset[idx][:2]
         wav = np.asarray(wav, np.float32).reshape(-1)
         n = min(len(wav), self.pad_samples)
-        out = np.zeros(self.pad_samples, np.float32)
-        out[:n] = wav[:n]
+        out = np.zeros(self.pad_samples, self.wav_dtype)
+        if self.wav_dtype == np.int16:
+            out[:n] = np.clip(wav[:n] * 32768.0, -32768, 32767)
+        else:
+            out[:n] = wav[:n]
         return out, n, label
 
     def _make_batch(self, indices):

@@ -26,6 +26,7 @@ from audiossl_tpu.models.atst import (AudioTransformer, ast_base,
 from audiossl_tpu.models.byol import clip_byol_loss
 from audiossl_tpu.ops.melspec import MelConfig, log_melspec
 from audiossl_tpu.transforms.augment import (
+    wav_to_f32,
     mixup_log,
     random_crop_wav,
     random_resize_crop,
@@ -162,7 +163,7 @@ class ClipMethod:
                                    (mel, length), self.cfg.optimizer)
 
     def forward_loss(self, student_apply, teacher_apply, batch, rng):
-        wav, valid = batch["wav"], batch["valid"]
+        wav, valid = wav_to_f32(batch["wav"]), batch["valid"]
         k_aug, k_dp, k_dpt = jax.random.split(rng, 3)
         mel, frames = clip_train_views(k_aug, wav, valid, self.cfg)
         s_out, s_updates = student_apply(mel, frames,

@@ -28,6 +28,7 @@ from audiossl_tpu.models.byol import frame_byol_loss
 from audiossl_tpu.ops.masking import make_token_mask
 from audiossl_tpu.ops.melspec import MelConfig, log_melspec
 from audiossl_tpu.transforms.augment import (
+    wav_to_f32,
     mixup_log,
     random_crop_wav,
     random_resize_crop,
@@ -174,7 +175,7 @@ class FrameMethod:
 
     def forward_loss(self, student_apply, teacher_apply, batch, rng):
         cfg = self.cfg
-        wav, valid = batch["wav"], batch["valid"]
+        wav, valid = wav_to_f32(batch["wav"]), batch["valid"]
         k_aug, k_dp, k_dpt = jax.random.split(rng, 3)
         mel2, frames2, mask2 = frame_train_views(k_aug, wav, valid, cfg)
         if cfg.symmetric:

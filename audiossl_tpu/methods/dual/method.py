@@ -34,7 +34,7 @@ from audiossl_tpu.training.pretrain import (
     make_adam,
     wd_mask,
 )
-from audiossl_tpu.transforms.augment import random_crop_wav
+from audiossl_tpu.transforms.augment import (wav_to_f32, random_crop_wav)
 
 
 def variance_loss(z, eps: float = 1e-4):
@@ -201,7 +201,7 @@ class DualMethod:
 
         def step_fn(state: DualState, batch):
             rng, k_crop, k_mask, k_dp = jax.random.split(state.rng, 4)
-            wav, valid = batch["wav"], batch["valid"]
+            wav, valid = wav_to_f32(batch["wav"]), batch["valid"]
             B = wav.shape[0]
             crops, cv = random_crop_wav(
                 k_crop, wav, valid,

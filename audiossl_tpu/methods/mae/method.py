@@ -30,7 +30,7 @@ from audiossl_tpu.training.pretrain import (
     make_adam,
     wd_mask,
 )
-from audiossl_tpu.transforms.augment import random_crop_wav
+from audiossl_tpu.transforms.augment import (wav_to_f32, random_crop_wav)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -164,7 +164,7 @@ class MAEMethod:
 
         def step_fn(state: MAEState, batch):
             rng, k_crop, k_mask, k_dp = jax.random.split(state.rng, 4)
-            wav, valid = batch["wav"], batch["valid"]
+            wav, valid = wav_to_f32(batch["wav"]), batch["valid"]
             B = wav.shape[0]
             crop_len = jnp.full((B,), cfg.out_samples, jnp.int32)
             crops, cv = random_crop_wav(k_crop, wav, valid, crop_len,

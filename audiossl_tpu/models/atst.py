@@ -248,11 +248,12 @@ class AudioTransformer(nn.Module):
             lengths = jnp.full((x.shape[0],), N0, jnp.int32)
         if lengths is not None:
             attn_mask = length_to_attn_mask(lengths, x.shape[1])
-        # student training path: the MLP residual half of each block
-        # runs as ONE trainable Pallas kernel pair with in-kernel
-        # weight-grad accumulation (ops/pallas_mlp.py); the attention
-        # half keeps the flax route (which already uses the fused MHA
-        # kernel)
+        # student training path: each block runs as TWO trainable
+        # Pallas kernel pairs with in-kernel weight-grad accumulation —
+        # the attention residual half (ops/pallas_attn.py: LN1 -> qkv
+        # -> MHA -> proj) and the MLP residual half (ops/pallas_mlp.py:
+        # LN2 -> fc1 -> GELU -> fc2); only the [B, N, C] residual
+        # stream crosses kernel boundaries
         import os
         use_mlp_fused = (
             self.fused_attention and not deterministic and not self.remat
@@ -261,20 +262,50 @@ class AudioTransformer(nn.Module):
             and jax.default_backend() == "tpu"
             and os.environ.get("AUDIOSSL_FUSED_MLP", "1") != "0"
             and not self.is_initializing())
+        use_attn_fused = (
+            use_mlp_fused
+            and os.environ.get("AUDIOSSL_FUSED_ATTN", "1") != "0")
+        valid_f = None
+        if use_attn_fused:
+            if lengths is not None:
+                valid_f = (jnp.arange(x.shape[1])[None, :]
+                           < lengths[:, None]).astype(jnp.float32)
+            else:
+                valid_f = jnp.ones((x.shape[0], x.shape[1]), jnp.float32)
+
+        def _dpm(rate):
+            if rate > 0.0:
+                keep = 1.0 - rate
+                u = jax.random.uniform(self.make_rng("droppath"),
+                                       (x.shape[0],))
+                return jnp.floor(keep + u) / keep
+            return jnp.ones((x.shape[0],), jnp.float32)
+
         collected = []
         for i, blk in enumerate(self.blocks):
             if use_mlp_fused:
                 from audiossl_tpu.ops.pallas_mlp import fused_mlp_block
 
-                x = blk(x, attn_mask, deterministic, attn_only=True)
                 rate = self.drop_path_rate * i / max(self.depth - 1, 1)
-                if rate > 0.0:
-                    keep = 1.0 - rate
-                    u = jax.random.uniform(self.make_rng("droppath"),
-                                           (x.shape[0],))
-                    dpm = jnp.floor(keep + u) / keep
+                if use_attn_fused:
+                    from audiossl_tpu.ops.pallas_attn import (
+                        fused_attn_block,
+                    )
+
+                    p = blk.variables["params"]
+                    bqkv = p["attn"]["qkv"].get("bias")
+                    if bqkv is None:  # qkv_bias=False archs: zero bias
+                        bqkv = jnp.zeros(
+                            (3 * self.embed_dim,), jnp.float32)
+                    x = fused_attn_block(
+                        x, valid_f, _dpm(rate), p["norm1"]["scale"],
+                        p["norm1"]["bias"], p["attn"]["qkv"]["kernel"],
+                        bqkv, p["attn"]["proj"]["kernel"],
+                        p["attn"]["proj"]["bias"], self.num_heads,
+                        self.eps)
                 else:
-                    dpm = jnp.ones((x.shape[0],), jnp.float32)
+                    x = blk(x, attn_mask, deterministic, attn_only=True)
+                dpm = _dpm(rate)
                 p = blk.variables["params"]
                 x = fused_mlp_block(
                     x, dpm, p["norm2"]["scale"], p["norm2"]["bias"],

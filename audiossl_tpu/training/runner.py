@@ -100,6 +100,23 @@ def run_pretraining(method, dataset, *, batch_size_per_device: int,
     t0 = time.perf_counter()
     done = False
 
+    # int16 host->device emit (half the batch bytes; the step
+    # dequantizes on device with the identical /32768 scale —
+    # transforms.augment.wav_to_f32) whenever the pack stores int16;
+    # AUDIOSSL_WAV_I16=0 forces the float32 path
+    import os as _os
+
+    wav_dtype = np.float32
+    try:
+        from audiossl_tpu.datasets.packed import PackedAudioDataset
+
+        if (isinstance(dataset, PackedAudioDataset)
+                and _os.environ.get("AUDIOSSL_WAV_I16", "1") != "0"
+                and dataset.reader.all_int16()):
+            wav_dtype = np.int16
+    except Exception:
+        pass
+
     def make_loader(epoch):
         # prefer the native C++ batched reader for packed datasets
         try:
@@ -113,7 +130,8 @@ def run_pretraining(method, dataset, *, batch_size_per_device: int,
                     and get_lib() is not None:
                 return NativeBatchLoader(
                     dataset, global_bs, pad_samples=pad, shuffle=True,
-                    seed=seed, epoch=epoch, n_threads=loader_threads)
+                    seed=seed, epoch=epoch, n_threads=loader_threads,
+                    wav_dtype=wav_dtype)
         except Exception:
             pass
         return BatchLoader(dataset, global_bs, pad_samples=pad,
@@ -121,7 +139,8 @@ def run_pretraining(method, dataset, *, batch_size_per_device: int,
                            num_threads=loader_threads,
                            include_labels=False,
                            process_index=proc_idx,
-                           process_count=proc_cnt)
+                           process_count=proc_cnt,
+                           wav_dtype=wav_dtype)
 
     profiling = False
     _save_thread = [None]

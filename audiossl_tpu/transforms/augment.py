@@ -35,6 +35,18 @@ _EPS32 = float(jnp.finfo(jnp.float32).eps)
 # --------------------------------------------------------------------- #
 # waveform-level
 # --------------------------------------------------------------------- #
+def wav_to_f32(wav):
+    """Device-side waveform dequantization: int16 batches (the packed
+    store's native sample dtype — datasets/pipeline.py ``wav_dtype``)
+    -> float32 in [-1, 1) with the exact /32768 scale the host reader
+    uses, so the f32 values are bitwise-identical to the float path.
+    Halves host->device transfer for the loader-fed train loops.
+    float inputs pass through unchanged."""
+    if wav.dtype == jnp.int16:
+        return wav.astype(jnp.float32) * (1.0 / 32768.0)
+    return wav.astype(jnp.float32) if wav.dtype != jnp.float32 else wav
+
+
 def sample_crop_lengths(key, batch: int, min_s: float, max_s: float,
                         sr: int = 16000):
     """Per-sample crop lengths in samples, uniform in [min_s, max_s]

@@ -133,6 +133,52 @@ void decode_one(const Pack* p, long rec_idx, long pad_samples,
   *valid = static_cast<int32_t>(keep);
 }
 
+void decode_one_i16(const Pack* p, long rec_idx, long pad_samples,
+                    int16_t* out, int32_t* valid) {
+  // int16 emit: halves the host->device batch bytes (the device
+  // dequantizes with the same /32768 scale, bitwise-identical f32).
+  // float32 records are re-quantized to 16 bits (source audio is
+  // 16-bit PCM in practice; see datasets/pipeline.py wav_dtype).
+  const Header* h = record(p, rec_idx);
+  const uint8_t* payload =
+      reinterpret_cast<const uint8_t*>(h) + sizeof(Header);
+  int ch = h->channels ? h->channels : 1;
+  long n = h->dtype == 0 ? h->wav_bytes / 2 / ch : h->wav_bytes / 4 / ch;
+  long keep = n < pad_samples ? n : pad_samples;
+  auto q = [](float v) {
+    float s = v * 32768.0f;
+    if (s > 32767.f) s = 32767.f;
+    if (s < -32768.f) s = -32768.f;
+    return static_cast<int16_t>(s);
+  };
+  if (h->dtype == 0) {
+    const int16_t* w = reinterpret_cast<const int16_t*>(payload);
+    if (ch == 1) {
+      memcpy(out, w, keep * sizeof(int16_t));
+    } else {
+      for (long t = 0; t < keep; ++t) {
+        float acc = 0.f;
+        for (int c = 0; c < ch; ++c) acc += w[c * n + t];
+        out[t] = static_cast<int16_t>(acc / ch);
+      }
+    }
+  } else {
+    const float* w = reinterpret_cast<const float*>(payload);
+    if (ch == 1) {
+      for (long t = 0; t < keep; ++t) out[t] = q(w[t]);
+    } else {
+      for (long t = 0; t < keep; ++t) {
+        float acc = 0.f;
+        for (int c = 0; c < ch; ++c) acc += w[c * n + t];
+        out[t] = q(acc / ch);
+      }
+    }
+  }
+  if (keep < pad_samples)
+    memset(out + keep, 0, (pad_samples - keep) * sizeof(int16_t));
+  *valid = static_cast<int32_t>(keep);
+}
+
 }  // namespace
 
 extern "C" {
@@ -189,6 +235,34 @@ int ards_read_batch(void* h, const long* idx, int n, long pad_samples,
       if (i >= n) return;
       decode_one(p, idx[i], pad_samples, out_wav + (long)i * pad_samples,
                  out_valid + i);
+    }
+  };
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < n_threads; ++t) ts.emplace_back(worker);
+    for (auto& t : ts) t.join();
+  }
+  return 0;
+}
+
+int ards_read_batch_i16(void* h, const long* idx, int n,
+                        long pad_samples, int n_threads,
+                        int16_t* out_wav, int* out_valid) {
+  auto* p = static_cast<Pack*>(h);
+  long num = ards_len(h);
+  for (int i = 0; i < n; ++i)
+    if (idx[i] < 0 || idx[i] >= num) return -2;
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = n;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      decode_one_i16(p, idx[i], pad_samples,
+                     out_wav + (long)i * pad_samples, out_valid + i);
     }
   };
   if (n_threads == 1) {

@@ -384,3 +384,89 @@ def test_layer_norm_pg_module_param_compat():
     np.testing.assert_allclose(
         np.asarray(y_pg, np.float32), np.asarray(y_fl, np.float32),
         atol=1e-2)
+
+
+def test_fused_attn_block_fwd_bwd_interpret():
+    """Trainable fused attention sub-block (ops/pallas_attn.py): value
+    and all gradients vs the XLA reference path (LN -> qkv -> packed
+    MHA -> proj -> droppath residual; f32, interpret mode, ragged
+    lengths)."""
+    from audiossl_tpu.ops.pallas_attn import fused_attn_block
+
+    B, H, N, d = 3, 2, 24, 8
+    C = H * d
+    eps = 1e-6
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    lengths = jnp.asarray([16, 24, 9])
+    valid = (jnp.arange(N)[None, :] < lengths[:, None]).astype(
+        jnp.float32)
+    mask = jnp.where(valid > 0, 0.0, -10000.0)
+    dp = jnp.asarray([1.0, 0.0, 1.25], jnp.float32)
+    ls = jnp.asarray(1.0 + 0.1 * rng.randn(C).astype(np.float32))
+    lb = jnp.asarray(0.1 * rng.randn(C).astype(np.float32))
+    wqkv = jnp.asarray(rng.randn(C, 3 * C).astype(np.float32) * 0.1)
+    bqkv = jnp.asarray(0.1 * rng.randn(3 * C).astype(np.float32))
+    wproj = jnp.asarray(rng.randn(C, C).astype(np.float32) * 0.1)
+    bproj = jnp.asarray(0.1 * rng.randn(C).astype(np.float32))
+    r = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    scale = d ** -0.5
+
+    def ref(x, ls, lb, wqkv, bqkv, wproj, bproj):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        h = (x - mu) * jax.lax.rsqrt(var + eps) * ls + lb
+        o = _ref_mha_packed(h @ wqkv + bqkv, mask, H, scale)
+        y = o @ wproj + bproj
+        return x + y * dp[:, None, None]
+
+    def got(x, ls, lb, wqkv, bqkv, wproj, bproj):
+        return fused_attn_block(x, valid, dp, ls, lb, wqkv, bqkv,
+                                wproj, bproj, H, eps, True)
+
+    want = ref(x, ls, lb, wqkv, bqkv, wproj, bproj)
+    out = got(x, ls, lb, wqkv, bqkv, wproj, bproj)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=3e-5, rtol=1e-5)
+
+    loss_ref = lambda *a: jnp.sum(ref(*a) * r)  # noqa: E731
+    loss_got = lambda *a: jnp.sum(got(*a) * r)  # noqa: E731
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(
+        x, ls, lb, wqkv, bqkv, wproj, bproj)
+    g_got = jax.grad(loss_got, argnums=tuple(range(7)))(
+        x, ls, lb, wqkv, bqkv, wproj, bproj)
+    names = ["dx", "dls", "dlb", "dwqkv", "dbqkv", "dwproj", "dbproj"]
+    for n, a, b in zip(names, g_got, g_ref):
+        sc = max(1.0, float(jnp.abs(b).max()))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4 * sc, rtol=3e-4,
+            err_msg=n)
+
+
+def test_fused_attn_block_zero_length_row_finite():
+    """A sample with zero valid keys must yield finite outputs and
+    gradients (uniform-attention fallback + eps-guarded denominator)."""
+    from audiossl_tpu.ops.pallas_attn import fused_attn_block
+
+    B, H, N, d = 2, 2, 16, 8
+    C = H * d
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    valid = jnp.stack([jnp.ones(N), jnp.zeros(N)])
+    dp = jnp.ones((B,), jnp.float32)
+    ls, lb = jnp.ones((C,)), jnp.zeros((C,))
+    wqkv = jnp.asarray(rng.randn(C, 3 * C).astype(np.float32) * 0.1)
+    bqkv = jnp.zeros((3 * C,))
+    wproj = jnp.asarray(rng.randn(C, C).astype(np.float32) * 0.1)
+    bproj = jnp.zeros((C,))
+
+    def loss(x, wqkv, wproj):
+        return jnp.sum(fused_attn_block(
+            x, valid, dp, ls, lb, wqkv, bqkv, wproj, bproj, H,
+            1e-6, True) ** 2)
+
+    val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+        x, wqkv, wproj)
+    assert np.isfinite(float(val))
+    for g in grads:
+        assert np.all(np.isfinite(np.asarray(g)))
