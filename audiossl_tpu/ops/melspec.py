@@ -218,10 +218,19 @@ def stft_conv(wav: jnp.ndarray, cfg: MelConfig = MelConfig(),
         # [win, 2F] matmul. XLA's strided-conv lowering of the same
         # math runs at ~20 TF/s; the framed matmul more than halves it
         # (v5e: 6.8 -> ~3.5 ms for a 96x10 s batch).
-        segs = [jax.lax.dynamic_slice_in_dim(
-            wavp, i * hop, To * hop, axis=1).reshape(B, To, hop)
-            for i in range(nh)]
-        frames = jnp.concatenate(segs, axis=2)[:, :, :cfg.win_length]
+        # one contiguous [B, To+nh-1, hop] reshape, then nh axis-1
+        # window shifts: Xb[b, t+i, h] == wavp[b, (t+i)*hop + h], so
+        # concatenating the shifted views along the last axis rebuilds
+        # frames[b, t, i*hop+h]. The former per-shift
+        # dynamic_slice+reshape forced XLA to materialize each segment
+        # through a layout copy (7 x 225 MB of copy traffic at the
+        # bench batch, ~1.9 ms/step); axis-1 slices of one contiguous
+        # buffer fuse into the concat read instead.
+        nseg = To + nh - 1
+        Xb = wavp[:, : nseg * hop].reshape(B, nseg, hop)
+        frames = jnp.concatenate(
+            [Xb[:, i: i + To] for i in range(nh)],
+            axis=2)[:, :, :cfg.win_length]
         out = jnp.einsum("btw,fw->bft", frames, filt,
                          precision=jax.lax.Precision.DEFAULT)
         return out
