@@ -42,9 +42,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import numpy as np
 
 
-def synth_class_audio(rng, n, sr, seconds, k, n_classes):
+def synth_class_audio(rng, n, sr, seconds, k, n_classes, noise=0.05):
     """Class-k audio: harmonic stack at f0_k, amplitude-modulated at
-    rate_k — separable but not trivially so under mel pooling."""
+    rate_k — separable but not trivially so under mel pooling.
+    ``noise`` sets the additive-gaussian level; raise it (and
+    n_classes) to make the probe task hard enough that a random-init
+    encoder does NOT already saturate it (probe_gain.py needs
+    headroom above the init accuracy)."""
     f0 = 80.0 * (2.0 ** (k / max(n_classes - 1, 1) * 3.0))  # 80..640 Hz
     am = 2.0 + 6.0 * ((k * 7) % n_classes) / max(n_classes - 1, 1)
     t = np.arange(int(seconds * sr)) / sr
@@ -57,7 +61,7 @@ def synth_class_audio(rng, n, sr, seconds, k, n_classes):
                 2 * np.pi * f0 * h * (1 + rng.uniform(-.02, .02)) * t
                 + phase * h)
         env = 0.6 + 0.4 * np.sin(2 * np.pi * am * t + rng.uniform(0, 6.28))
-        out[i] = (sig * env + rng.randn(t.size) * 0.05).astype(np.float32)
+        out[i] = (sig * env + rng.randn(t.size) * noise).astype(np.float32)
         out[i] *= 0.1 / max(np.abs(out[i]).max(), 1e-6)
     return out
 
@@ -127,15 +131,20 @@ def main():
             k_aug, jnp.asarray(wav), jnp.asarray(valid), cfg)
 
         def tgt(method):
-            def f(mel2, frames2, mask2):
+            # params passed as jit ARGUMENTS, not closed over: a
+            # closure bakes the 86M-param teacher into the HLO as
+            # constants, and the axon remote-compile tunnel rejects
+            # the request body (HTTP 413)
+            def f(tp, tbs, mel2, frames2, mask2):
                 (t_out, t_sel), _ = method.teacher.apply(
-                    {"params": state.teacher_params,
-                     "batch_stats": state.teacher_batch_stats},
+                    {"params": tp, "batch_stats": tbs},
                     mel2, frames2, mask_index=mask2, apply_mask=False,
                     train=True, mutable=["batch_stats"],
                     rngs={"droppath": k_dpt})
                 return t_out, t_sel
-            t_out, t_sel = jax.jit(f)(mel2, frames2, mask2)
+            t_out, t_sel = jax.jit(f)(
+                state.teacher_params, state.teacher_batch_stats,
+                mel2, frames2, mask2)
             return np.asarray(t_out, np.float32), np.asarray(t_sel)
 
         a, sel = tgt(m_bf)
@@ -178,11 +187,11 @@ def main():
             enc = method.teacher.encoder
 
             @jax.jit
-            def fn(w):
+            def fn(ep, w):   # params as args, not constants (tunnel 413)
                 mel = log_melspec(w, cfg=cfg.mel)[:, :, :cfg.out_frames]
                 ln = jnp.full((w.shape[0],), mel.shape[2], jnp.int32)
                 frames, sel = enc.apply(
-                    {"params": state.teacher_params["encoder"]},
+                    {"params": ep},
                     mel, ln, apply_mask=False, deterministic=True)
                 selv = sel.astype(jnp.float32)[:, :, None]
                 return (jnp.sum(frames.astype(jnp.float32) * selv, 1)
@@ -194,7 +203,9 @@ def main():
                 chunk = wav[i:i + bs]
                 if chunk.shape[0] < bs:  # static shapes for jit
                     chunk = np.pad(chunk, ((0, bs - chunk.shape[0]), (0, 0)))
-                out.append(np.asarray(fn(jnp.asarray(chunk)), np.float32))
+                out.append(np.asarray(
+                    fn(state.teacher_params["encoder"],
+                       jnp.asarray(chunk)), np.float32))
             return np.concatenate(out)[:wav.shape[0]]
 
         f_bf = feats(m_bf)

@@ -42,10 +42,15 @@ def main():
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--probe-every", type=int, default=400)
     ap.add_argument("--batch", type=int, default=48)
-    ap.add_argument("--classes", type=int, default=10)
+    ap.add_argument("--classes", type=int, default=24)
     ap.add_argument("--per-class", type=int, default=60)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--out", default="docs/convergence")
+    ap.add_argument("--noise", type=float, default=1.2,
+                    help="additive-noise level in synth_class_audio; the "
+                         "default is chosen so a RANDOM-INIT encoder scores "
+                         "well below 1.0 on the probe (headroom for the "
+                         "gain measurement)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -94,7 +99,7 @@ def main():
         for i in range(n_pretrain):
             k = i % args.classes
             w = synth_class_audio(rng, 1, cfg.sr, sec, k,
-                                  args.classes)[0]
+                                  args.classes, args.noise)[0]
             writer.add(np.clip(w * 32767, -32767, 32767).astype(np.int16),
                        int(k), cfg.sr)
     dataset = PackedAudioDataset(data, "train")
@@ -103,7 +108,8 @@ def main():
     wavs, labs = [], []
     for k in range(args.classes):
         wavs.append(synth_class_audio(rng, n_tr + n_te, cfg.sr,
-                                      cfg.anchor_len, k, args.classes))
+                                      cfg.anchor_len, k, args.classes,
+                                      args.noise))
         labs.append(np.full(n_tr + n_te, k))
     probe_wav = np.concatenate(wavs)
     probe_lab = np.concatenate(labs)
@@ -167,7 +173,7 @@ def main():
 
     summary = {
         "arch": arch, "steps": args.steps, "batch": args.batch,
-        "classes": args.classes,
+        "classes": args.classes, "noise": args.noise,
         "acc_init": curve[0]["acc"], "acc_final": curve[-1]["acc"],
         "acc_gain": curve[-1]["acc"] - curve[0]["acc"],
         "wall_s": round(time.perf_counter() - t0, 1),
