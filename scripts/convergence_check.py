@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import numpy as np
 
 
-def build(method_name: str, tiny: bool):
+def build(method_name: str, tiny: bool, teacher_quant: str = "none"):
     import jax
 
     from audiossl_tpu.training.pretrain import Branch, OptimizerConfig
@@ -47,7 +47,8 @@ def build(method_name: str, tiny: bool):
             arch="small", anchor_len=2.0 if tiny else 6.0,
             optimizer=OptimizerConfig(learning_rate=4e-4, warmup_steps=40,
                                       max_steps=4000, ema=0.99),
-            dtype="float32" if tiny else "bfloat16")
+            dtype="float32" if tiny else "bfloat16",
+            teacher_quant=teacher_quant)
         method = FrameMethod(cfg)
         std_key = "std_frm_tea"
     else:
@@ -61,7 +62,8 @@ def build(method_name: str, tiny: bool):
             arch="small", anchor_len=ln, positive_len=ln,
             optimizer=OptimizerConfig(learning_rate=4e-4, warmup_steps=40,
                                       max_steps=4000, ema=0.99),
-            dtype="float32" if tiny else "bfloat16")
+            dtype="float32" if tiny else "bfloat16",
+            teacher_quant=teacher_quant)
         method = ClipMethod(cfg)
         std_key = "std_cls_t"
     if tiny:
@@ -81,13 +83,13 @@ def build(method_name: str, tiny: bool):
 
 
 def run(method_name: str, steps: int, batch: int, tiny: bool,
-        out_dir: str | None, seed: int = 0):
+        out_dir: str | None, seed: int = 0, teacher_quant: str = "none"):
     import jax
 
     from audiossl_tpu.datasets import PackedAudioDataset, write_synthetic_pack
     from audiossl_tpu.datasets.pipeline import BatchLoader
 
-    method, cfg, std_key = build(method_name, tiny)
+    method, cfg, std_key = build(method_name, tiny, teacher_quant)
     data = tempfile.mkdtemp(prefix="convergence_data_")
     n_clips = max(4 * batch, 256 if not tiny else 64)
     clip_s = cfg.anchor_len if method_name == "frame" else cfg.anchor_len[0]
@@ -129,7 +131,8 @@ def run(method_name: str, steps: int, batch: int, tiny: bool,
     std_floor = float(np.min(hist["std_tea"][k:]))
     summary = {
         "method": method_name, "steps": steps, "batch": batch,
-        "tiny": tiny, "head_loss": head, "tail_loss": tail,
+        "tiny": tiny, "teacher_quant": teacher_quant,
+        "head_loss": head, "tail_loss": tail,
         "loss_drop": head - tail, "min_teacher_std_after_warmup": std_floor,
         "wall_s": round(time.perf_counter() - t0, 1),
     }
@@ -137,7 +140,8 @@ def run(method_name: str, steps: int, batch: int, tiny: bool,
 
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
-        base = os.path.join(out_dir, f"{method_name}_curve")
+        suffix = "" if teacher_quant == "none" else f"_{teacher_quant}"
+        base = os.path.join(out_dir, f"{method_name}_curve{suffix}")
         with open(base + ".json", "w") as f:
             json.dump({**summary, **hist}, f)
         try:
@@ -149,8 +153,10 @@ def run(method_name: str, steps: int, batch: int, tiny: bool,
             fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(7, 6), sharex=True)
             ax1.plot(hist["loss"], lw=0.8)
             ax1.set_ylabel("BYOL loss")
+            quant_tag = ("" if teacher_quant == "none"
+                         else f", {teacher_quant} teacher")
             ax1.set_title(f"ATST-{method_name} pretrain convergence "
-                          f"({steps} steps, batch {batch})")
+                          f"({steps} steps, batch {batch}{quant_tag})")
             ax2.plot(hist["std_tea"], lw=0.8, label="teacher std")
             ax2.plot(hist["std_stu"], lw=0.8, label="student std")
             ax2.axhline(0.0, color="k", lw=0.5)
@@ -174,10 +180,15 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="2-block/32-dim encoder for CPU smoke runs")
     ap.add_argument("--out", default="docs/convergence")
+    ap.add_argument("--teacher-quant", default="none",
+                    choices=["none", "int8"],
+                    help="A/B the int8-MXU teacher recipe variant; output "
+                         "files gain an _int8 suffix")
     args = ap.parse_args()
     methods = ["frame", "clip"] if args.method == "both" else [args.method]
     for m in methods:
-        summary, _ = run(m, args.steps, args.batch, args.tiny, args.out)
+        summary, _ = run(m, args.steps, args.batch, args.tiny, args.out,
+                         teacher_quant=args.teacher_quant)
         assert summary["tail_loss"] < summary["head_loss"], \
             f"{m}: loss did not decrease"
 
