@@ -18,6 +18,9 @@ setup(
             "atstframe_train=audiossl_tpu.methods.atstframe.train:main",
             "atst_downstream_train_freeze="
             "audiossl_tpu.downstream.train_freeze:main",
+            # config-file variant (reference train_freeze_hydra.py)
+            "atst_downstream_train_freeze_config="
+            "audiossl_tpu.downstream.train_freeze_config:main",
             "atst_downstream_train_finetune="
             "audiossl_tpu.downstream.train_finetune:main",
         ]
