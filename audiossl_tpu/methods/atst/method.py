@@ -58,6 +58,9 @@ class ClipPretrainConfig:
     # "int8": quantized no-grad TEACHER matmuls (2x MXU peak) - an
     # OPT-IN recipe change (see docs/PROFILE.md roofline ceiling)
     teacher_quant: str = "none"
+    # "int8": quantized STUDENT forward projections (QAT straight-
+    # through backward; ops/pallas_attn.py / pallas_mlp.py). OPT-IN
+    student_quant: str = "none"
 
     @property
     def max_len_s(self) -> float:
@@ -142,6 +145,7 @@ class ClipMethod:
             spec_w=cfg.out_frames,
             dtype=jnp.dtype(cfg.dtype),
             fused_attention=cfg.fused_attention,
+            train_quant=cfg.student_quant,
         )
         enc_fn = {"tiny": ast_tiny, "small": ast_small,
                   "base": ast_base}[cfg.arch]
@@ -149,7 +153,8 @@ class ClipMethod:
         # teacher forwards are never differentiated -> whole-block
         # fused inference kernels (stochastic depth stays in-kernel)
         tea_kw = dict(enc_kw, fused_infer=cfg.fused_attention,
-                      infer_quant=cfg.teacher_quant)
+                      infer_quant=cfg.teacher_quant,
+                      train_quant="none")  # teacher: no-grad kernels
         self.student = Branch(encoder=enc_fn(**enc_kw), predictor=True,
                               hidden_dim=hd, out_dim=od)
         self.teacher = Branch(encoder=enc_fn(**tea_kw), predictor=False,

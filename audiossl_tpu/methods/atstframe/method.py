@@ -74,6 +74,11 @@ class FramePretrainConfig:
     # recipe change past the bf16 roofline (docs/PROFILE.md); the
     # default keeps bf16 teacher parity with the reference
     teacher_quant: str = "none"
+    # "int8": quantized STUDENT forward projections (qkv/proj/fc1/fc2
+    # on the int8 MXU; backward stays bf16 on dequantized weights —
+    # QAT straight-through, ops/pallas_attn.py / pallas_mlp.py).
+    # OPT-IN; convergence A/B + error budget in docs/PROFILE.md
+    student_quant: str = "none"
 
     @property
     def out_frames(self) -> int:
@@ -143,6 +148,7 @@ class FrameMethod:
             pos_type=cfg.pos_type,
             dtype=jnp.dtype(cfg.dtype),
             fused_attention=cfg.fused_attention,
+            train_quant=cfg.student_quant,
         )
         enc_fn = {"tiny": frame_ast_tiny, "small": frame_ast_small,
                   "base": frame_ast_base}[cfg.arch]
@@ -151,7 +157,8 @@ class FrameMethod:
         # inference kernels (its in-kernel stochastic depth preserves
         # the reference's train-mode teacher)
         tea_kw = dict(enc_kw, fused_infer=cfg.fused_attention,
-                      infer_quant=cfg.teacher_quant)
+                      infer_quant=cfg.teacher_quant,
+                      train_quant="none")  # teacher: no-grad kernels
         if cfg.avg_blocks == 0:  # ATST-Frame
             self.student = Branch(encoder=enc_fn(**enc_kw), projector="mlp",
                                   predictor=True, hidden_dim=hd, out_dim=od)

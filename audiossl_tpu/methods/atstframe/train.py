@@ -70,6 +70,11 @@ def build_parser():
                    help="int8: quantized no-grad teacher matmuls (2x "
                         "MXU peak) - an opt-in recipe change, see "
                         "docs/PROFILE.md roofline ceiling")
+    p.add_argument("--student_quant", default="none",
+                   choices=["none", "int8"],
+                   help="int8: quantized student forward projections "
+                        "(QAT straight-through backward) - opt-in, "
+                        "see docs/PROFILE.md")
     p.add_argument("--clip_len", type=float, default=10.0,
                    help="host buffer seconds (full clip length)")
     return p
@@ -99,6 +104,7 @@ def main(argv=None):
         avg_blocks=args.avg_blocks,
         dtype=args.dtype,
         teacher_quant=args.teacher_quant,
+        student_quant=args.student_quant,
         optimizer=OptimizerConfig(
             learning_rate=lr, warmup_steps=args.warmup_steps,
             max_steps=args.max_steps, ema=args.ema),

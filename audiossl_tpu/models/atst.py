@@ -101,6 +101,11 @@ class AudioTransformer(nn.Module):
     # MXU path (2x bf16 peak) — an OPT-IN numerics change (~1e-2 rel
     # per block); default keeps bf16 reference parity
     infer_quant: str = "none"
+    # "int8": run the TRAINABLE fused kernels' forward projections
+    # (qkv/proj, fc1/fc2) on the int8 MXU path; backward stays bf16 on
+    # dequantized weights (QAT straight-through, ops/pallas_mlp.py /
+    # pallas_attn.py). OPT-IN; error budget in docs/PROFILE.md
+    train_quant: str = "none"
 
     @property
     def max_patches(self):
@@ -281,6 +286,7 @@ class AudioTransformer(nn.Module):
                 return jnp.floor(keep + u) / keep
             return jnp.ones((x.shape[0],), jnp.float32)
 
+        tq = None if self.train_quant == "none" else self.train_quant
         collected = []
         for i, blk in enumerate(self.blocks):
             if use_mlp_fused:
@@ -302,7 +308,7 @@ class AudioTransformer(nn.Module):
                         p["norm1"]["bias"], p["attn"]["qkv"]["kernel"],
                         bqkv, p["attn"]["proj"]["kernel"],
                         p["attn"]["proj"]["bias"], self.num_heads,
-                        self.eps)
+                        self.eps, False, tq)
                 else:
                     x = blk(x, attn_mask, deterministic, attn_only=True)
                 dpm = _dpm(rate)
@@ -311,7 +317,7 @@ class AudioTransformer(nn.Module):
                     x, dpm, p["norm2"]["scale"], p["norm2"]["bias"],
                     p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
                     p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"],
-                    self.eps)
+                    self.eps, False, tq)
             else:
                 x = blk(x, attn_mask, deterministic)
             if collect_from is not None and i >= collect_from:

@@ -38,22 +38,28 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from audiossl_tpu.ops.pallas_block import _const, _ln, _row
+from audiossl_tpu.ops.pallas_block import (
+    _const,
+    _ln,
+    _q8_dot,
+    _row,
+    quantize_weight_q8,
+)
 
 
-def _fwd_kernel(x_ref, vk_ref, vv_ref, dp_ref, ls_ref, lb_ref,
-                wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-                y_ref, qkv_ref, r_ref, o_ref, *, H, scale, eps):
-    cdt = wqkv_ref.dtype
+def _fwd_body(x_ref, vk_ref, vv_ref, dp_ref, ls_ref, lb_ref,
+              dot_qkv, dot_proj, bproj_row,
+              y_ref, qkv_ref, r_ref, o_ref, *, H, scale, eps, cdt):
+    """Shared forward body; ``dot_qkv``/``dot_proj`` close over the
+    weight refs (bf16 MXU or int8-quantized MXU path) and take/return
+    f32 rows with the bias folded in."""
     N, C = x_ref.shape[1], x_ref.shape[2]
     d = C // H
     xf = x_ref[0].astype(jnp.float32)
     vk = vk_ref[0, 0].astype(jnp.float32)[:, None]  # [N, 1] key mask
     vv = vv_ref[0, 0].astype(jnp.float32)[:, None]
-    h = _ln(xf, ls_ref[0], lb_ref[0], eps).astype(cdt)
-    qkv = (jax.lax.dot_general(
-        h, wqkv_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + bqkv_ref[0]).astype(cdt)
+    h = _ln(xf, ls_ref[0], lb_ref[0], eps)
+    qkv = dot_qkv(h).astype(cdt)
     qkv_ref[0] = qkv
     for g in range(H):
         q = qkv[:, g * d:(g + 1) * d]
@@ -72,10 +78,46 @@ def _fwd_kernel(x_ref, vk_ref, vv_ref, dp_ref, ls_ref, lb_ref,
         r = 1.0 / (o2[:, -1:] + 1e-30)
         o_ref[0, :, g * d:(g + 1) * d] = (o2[:, :-1] * r).astype(cdt)
         r_ref[0, :, g:g + 1] = r
-    y = jax.lax.dot_general(
-        o_ref[0], wproj_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + bproj_ref[0]
+    y = dot_proj(o_ref[0].astype(jnp.float32)) + bproj_row
     y_ref[0] = (xf + y * dp_ref[0, 0, 0]).astype(y_ref.dtype)
+
+
+def _fwd_kernel(x_ref, vk_ref, vv_ref, dp_ref, ls_ref, lb_ref,
+                wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+                y_ref, qkv_ref, r_ref, o_ref, *, H, scale, eps):
+    cdt = wqkv_ref.dtype
+
+    def dot_qkv(h):
+        return jax.lax.dot_general(
+            h.astype(cdt), wqkv_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bqkv_ref[0]
+
+    def dot_proj(o):
+        return jax.lax.dot_general(
+            o.astype(cdt), wproj_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    _fwd_body(x_ref, vk_ref, vv_ref, dp_ref, ls_ref, lb_ref,
+              dot_qkv, dot_proj, bproj_ref[0],
+              y_ref, qkv_ref, r_ref, o_ref, H=H, scale=scale, eps=eps,
+              cdt=cdt)
+
+
+def _fwd_kernel_q8(x_ref, vk_ref, vv_ref, dp_ref, ls_ref, lb_ref,
+                   wqkv_ref, sqkv_ref, bqkv_ref, wproj_ref, sproj_ref,
+                   bproj_ref, y_ref, qkv_ref, r_ref, o_ref, *, H,
+                   scale, eps):
+    """int8-MXU qkv/proj projections (per-channel weight x per-row
+    activation scales); the attention dots stay bf16. The saved
+    qkv/r/o residuals are the TRUE quantized-path values, so the
+    backward differentiates what the forward computed (activation
+    quantization straight-through, dequantized weights in _bwd)."""
+    _fwd_body(x_ref, vk_ref, vv_ref, dp_ref, ls_ref, lb_ref,
+              lambda h: _q8_dot(h, wqkv_ref, sqkv_ref) + bqkv_ref[0],
+              lambda o: _q8_dot(o, wproj_ref, sproj_ref),
+              bproj_ref[0],
+              y_ref, qkv_ref, r_ref, o_ref, H=H, scale=scale, eps=eps,
+              cdt=qkv_ref.dtype)
 
 
 def _bwd_kernel(x_ref, dy_ref, qkv_ref, r_ref, o_ref, vk_ref, dp_ref,
@@ -195,9 +237,9 @@ def _valid_v(validf):
         validf, jnp.ones_like(validf))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
 def fused_attn_block(x, valid, dp, ls, lb, wqkv, bqkv, wproj, bproj,
-                     num_heads, eps=1e-6, interpret=False):
+                     num_heads, eps=1e-6, interpret=False, quant=None):
     """y = x + dp * proj(MHA(qkv(LN(x)))) with trainable params.
 
     x: [B, N, C] (bf16 in production; N a 128-multiple), valid: [B, N]
@@ -205,22 +247,64 @@ def fused_attn_block(x, valid, dp, ls, lb, wqkv, bqkv, wproj, bproj,
     stochastic-depth keep multiplier (non-differentiable), ls/lb: LN
     scale/bias [C], wqkv/bqkv: [C, 3C]/[3C] packed projection
     (head-major within each C block), wproj/bproj: [C, C]/[C].
-    Gradients flow to everything except valid/dp."""
+    Gradients flow to everything except valid/dp.
+
+    quant="int8" runs the qkv/proj FORWARD projections on the int8 MXU
+    path (the attention dots stay bf16); the backward differentiates
+    the dequantized-weight function on the saved quantized-path
+    residuals — standard QAT straight-through for the activation
+    scales (see fused_mlp_block)."""
     y, _ = _fwd(x, valid, dp, ls, lb, wqkv, bqkv, wproj, bproj,
-                num_heads, eps, interpret)
+                num_heads, eps, interpret, quant)
     return y
 
 
 def _fwd(x, valid, dp, ls, lb, wqkv, bqkv, wproj, bproj, num_heads,
-         eps, interpret):
+         eps, interpret, quant=None):
+    if quant not in (None, "int8"):
+        raise ValueError(f"unknown quant mode {quant!r} "
+                         "(supported: None, 'int8')")
     B, N, C = x.shape
     d = C // num_heads
     cdt = x.dtype
     validf = valid.astype(jnp.float32)
     vv = _valid_v(validf)
+    if quant == "int8":
+        wqkv_q, sqkv = quantize_weight_q8(wqkv)
+        wproj_q, sproj = quantize_weight_q8(wproj)
+        wqkv_sv = (wqkv_q.astype(jnp.float32) * sqkv).astype(cdt)
+        wproj_sv = (wproj_q.astype(jnp.float32) * sproj).astype(cdt)
+        kernel = functools.partial(_fwd_kernel_q8, H=num_heads,
+                                   scale=d ** -0.5, eps=eps)
+        w_ops = [wqkv_q, sqkv, _row(bqkv.astype(jnp.float32)),
+                 wproj_q, sproj, _row(bproj.astype(jnp.float32))]
+        w_specs = [
+            pl.BlockSpec((C, 3 * C), _const(0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), _const(0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), _const(0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
+        ]
+    else:
+        wqkv_sv, wproj_sv = wqkv, wproj
+        kernel = functools.partial(_fwd_kernel, H=num_heads,
+                                   scale=d ** -0.5, eps=eps)
+        w_ops = [wqkv.astype(cdt), _row(bqkv.astype(jnp.float32)),
+                 wproj.astype(cdt), _row(bproj.astype(jnp.float32))]
+        w_specs = [
+            pl.BlockSpec((C, 3 * C), _const(0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), _const(0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
+        ]
     y, qkv, r, o = pl.pallas_call(
-        functools.partial(_fwd_kernel, H=num_heads, scale=d ** -0.5,
-                          eps=eps),
+        kernel,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
@@ -233,13 +317,7 @@ def _fwd(x, valid, dp, ls, lb, wqkv, bqkv, wproj, bproj, num_heads,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, 3 * C), _const(0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * C), _const(0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, C), _const(0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + w_specs,
         out_specs=(
             pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -269,12 +347,11 @@ def _fwd(x, valid, dp, ls, lb, wqkv, bqkv, wproj, bproj, num_heads,
     )(x, validf[:, None, :], vv[:, None, :],
       dp.astype(jnp.float32)[:, None, None],
       _row(ls.astype(jnp.float32)), _row(lb.astype(jnp.float32)),
-      wqkv.astype(cdt), _row(bqkv.astype(jnp.float32)),
-      wproj.astype(cdt), _row(bproj.astype(jnp.float32)))
-    return y, (x, validf, dp, ls, lb, wqkv, wproj, qkv, r, o)
+      *w_ops)
+    return y, (x, validf, dp, ls, lb, wqkv_sv, wproj_sv, qkv, r, o)
 
 
-def _bwd(num_heads, eps, interpret, res, dy):
+def _bwd(num_heads, eps, interpret, quant, res, dy):
     x, validf, dp, ls, lb, wqkv, wproj, qkv, r, o = res
     B, N, C = x.shape
     d = C // num_heads

@@ -49,8 +49,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from audiossl_tpu.ops.pallas_block import (  # shared helpers
     _const,
+    _erf,
+    _q8_dot,
     _rcp,
     _row,
+    quantize_weight_q8,
 )
 
 _INV_SQRT2 = 0.7071067811865476
@@ -110,6 +113,33 @@ def _fwd_kernel(x_ref, dp_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref,
     y = jax.lax.dot_general(
         a, w2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + b2_ref[0]
+    dp = _row_droppath(dp_ref, mb, N)
+    y_ref[...] = (xf + y * dp).astype(y_ref.dtype).reshape(mb, N, C)
+
+
+def _fwd_kernel_q8(x_ref, dp_ref, ls_ref, lb_ref, w1_ref, s1_ref,
+                   b1_ref, w2_ref, s2_ref, b2_ref, y_ref, u_ref, *,
+                   eps):
+    """int8-MXU forward (2x bf16 peak on v5e): per-output-channel
+    weight scales x per-row activation scales, the same scheme as the
+    teacher's _mlp_kernel_q8 (pallas_block.py). The saved ``u`` is the
+    TRUE quantized-path pre-activation, so the backward's GELU
+    derivative differentiates the function the forward actually
+    computed; activation quantization itself is straight-through."""
+    mb, N, C = x_ref.shape
+    Hd = w1_ref.shape[1]
+    xf = x_ref[...].reshape(mb * N, C).astype(jnp.float32)
+    _, _, h = _ln_fwd(xf, ls_ref[0], lb_ref[0], eps)
+    u = _q8_dot(h, w1_ref, s1_ref) + b1_ref[0]  # [mb*N, 4C] f32
+    u_ref[...] = u.astype(u_ref.dtype).reshape(mb, N, Hd)
+    ex2 = jnp.exp(-u * u * 0.5)
+    a = 0.5 * u * (1.0 + _erf_from_exp(u * _INV_SQRT2, ex2))
+    # |gelu(u)| <= max(gelu(rowmax(u)), 0.17) — one reduce over the
+    # pre-activation bounds the activation rows (pallas_block notes)
+    umax = jnp.max(u, axis=-1, keepdims=True)
+    gmax = 0.5 * umax * (1.0 + _erf(umax * _INV_SQRT2))
+    bound = jnp.maximum(gmax, 0.17)
+    y = _q8_dot(a, w2_ref, s2_ref, bound=bound) + b2_ref[0]
     dp = _row_droppath(dp_ref, mb, N)
     y_ref[...] = (xf + y * dp).astype(y_ref.dtype).reshape(mb, N, C)
 
@@ -184,27 +214,67 @@ def _pick_mb(B):
     return 1
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def fused_mlp_block(x, dp, ls, lb, w1, b1, w2, b2, eps=1e-6,
-                    interpret=False):
+                    interpret=False, quant=None):
     """y = x + dp * fc2(gelu(fc1(LN(x)))) with trainable params.
 
     x: [B, N, C] (bf16 in production; N a sublane multiple), dp: [B]
     per-sample stochastic-depth keep multiplier (0 or 1/keep; ones for
     no drop — treated as non-differentiable), ls/lb: LN scale/bias
     [C], w1/b1/w2/b2: Dense params. Gradients flow to everything
-    except dp."""
-    y, _ = _fwd(x, dp, ls, lb, w1, b1, w2, b2, eps, interpret)
+    except dp.
+
+    quant="int8" runs the fc1/fc2 FORWARD dots on the int8 MXU path
+    (per-channel weight + per-row activation scales, re-quantized from
+    the masters every call — student weights change every step). The
+    backward stays the bf16 kernel, differentiating through the
+    DEQUANTIZED weights with the saved quantized-path pre-activation —
+    i.e. exact gradients of the forward actually computed, modulo the
+    straight-through treatment of activation quantization (standard
+    QAT). Opt-in numerics change; see docs/PROFILE.md."""
+    y, _ = _fwd(x, dp, ls, lb, w1, b1, w2, b2, eps, interpret, quant)
     return y
 
 
-def _fwd(x, dp, ls, lb, w1, b1, w2, b2, eps, interpret):
+def _fwd(x, dp, ls, lb, w1, b1, w2, b2, eps, interpret, quant=None):
+    if quant not in (None, "int8"):
+        raise ValueError(f"unknown quant mode {quant!r} "
+                         "(supported: None, 'int8')")
     B, N, C = x.shape
     Hd = w1.shape[1]
     cdt = x.dtype
     mb = _pick_mb(B)
+    if quant == "int8":
+        w1q, s1 = quantize_weight_q8(w1)
+        w2q, s2 = quantize_weight_q8(w2)
+        # the backward differentiates the dequantized-weight function
+        w1_sv = (w1q.astype(jnp.float32) * s1).astype(cdt)
+        w2_sv = (w2q.astype(jnp.float32) * s2).astype(cdt)
+        kernel = functools.partial(_fwd_kernel_q8, eps=eps)
+        w_ops = [w1q, s1, _row(b1.astype(jnp.float32)),
+                 w2q, s2, _row(b2.astype(jnp.float32))]
+        w_specs = [
+            pl.BlockSpec((C, Hd), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hd), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hd), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hd, C), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
+        ]
+    else:
+        w1_sv, w2_sv = w1, w2
+        kernel = functools.partial(_fwd_kernel, eps=eps)
+        w_ops = [w1.astype(cdt), _row(b1.astype(jnp.float32)),
+                 w2.astype(cdt), _row(b2.astype(jnp.float32))]
+        w_specs = [
+            pl.BlockSpec((C, Hd), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hd), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hd, C), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
+        ]
     y, u = pl.pallas_call(
-        functools.partial(_fwd_kernel, eps=eps),
+        kernel,
         grid=(B // mb,),
         in_specs=[
             pl.BlockSpec((mb, N, C), lambda b: (b, 0, 0),
@@ -213,11 +283,7 @@ def _fwd(x, dp, ls, lb, w1, b1, w2, b2, eps, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, Hd), _const(0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hd), _const(0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Hd, C), _const(0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + w_specs,
         out_specs=(
             pl.BlockSpec((mb, N, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -240,12 +306,11 @@ def _fwd(x, dp, ls, lb, w1, b1, w2, b2, eps, interpret):
         interpret=interpret,
     )(x, dp.astype(jnp.float32)[:, None, None],
       _row(ls.astype(jnp.float32)), _row(lb.astype(jnp.float32)),
-      w1.astype(cdt), _row(b1.astype(jnp.float32)),
-      w2.astype(cdt), _row(b2.astype(jnp.float32)))
-    return y, (x, dp, ls, lb, w1, w2, u)
+      *w_ops)
+    return y, (x, dp, ls, lb, w1_sv, w2_sv, u)
 
 
-def _bwd(eps, interpret, res, dy):
+def _bwd(eps, interpret, quant, res, dy):
     x, dp, ls, lb, w1, w2, u = res
     B, N, C = x.shape
     Hd = w1.shape[1]

@@ -366,6 +366,10 @@ def main():
         # change — NOT the headline configuration; see docs/PROFILE.md)
         teacher_quant=("int8" if "--int8-teacher" in sys.argv[1:]
                        else "none"),
+        # --int8-student: opt-in quantized student forward projections
+        # (QAT straight-through backward; ops/pallas_attn.py)
+        student_quant=("int8" if "--int8-student" in sys.argv[1:]
+                       else "none"),
     )
     method = FrameMethod(cfg)
     step = jax.jit(method.make_step(), donate_argnums=0)
@@ -386,6 +390,8 @@ def main():
     metric = "atst_frame_base_pretrain_clips_per_sec_per_chip"
     if cfg.teacher_quant != "none":
         metric += "_int8_teacher"
+    if cfg.student_quant != "none":
+        metric += "_int8_student"
     print(json.dumps({
         "metric": metric,
         "value": round(clips_per_sec, 2),

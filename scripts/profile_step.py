@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_frame_step(B, teacher_quant="none"):
+def build_frame_step(B, teacher_quant="none", student_quant="none"):
     from audiossl_tpu.methods.atstframe.method import (
         FramePretrainConfig,
         FrameMethod,
@@ -41,7 +41,8 @@ def build_frame_step(B, teacher_quant="none"):
         mask_len=5, aug_tea=False, aug_stu=True,
         optimizer=OptimizerConfig(learning_rate=8e-5, warmup_steps=19900,
                                   max_steps=398000, ema=0.9996),
-        dtype="bfloat16", teacher_quant=teacher_quant)
+        dtype="bfloat16", teacher_quant=teacher_quant,
+        student_quant=student_quant)
     method = FrameMethod(cfg)
     step = jax.jit(method.make_step(), donate_argnums=0)
     rng = np.random.RandomState(0)
@@ -128,6 +129,8 @@ def main():
     ap.add_argument("--clip", action="store_true")
     ap.add_argument("--int8-teacher", action="store_true",
                     help="profile the int8-quantized-teacher recipe variant")
+    ap.add_argument("--int8-student", action="store_true",
+                    help="profile the int8-student-forward recipe variant")
     ap.add_argument("--keep", default=None,
                     help="keep the trace under this directory")
     ap.add_argument("--filter", default=None,
@@ -139,7 +142,8 @@ def main():
     else:
         step, state, batch = build_frame_step(
             args.batch,
-            teacher_quant="int8" if args.int8_teacher else "none")
+            teacher_quant="int8" if args.int8_teacher else "none",
+            student_quant="int8" if args.int8_student else "none")
     for _ in range(4):          # compile + settle
         state, metrics = step(state, batch)
     float(metrics["loss"])
