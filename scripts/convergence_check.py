@@ -32,7 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import numpy as np
 
 
-def build(method_name: str, tiny: bool, teacher_quant: str = "none"):
+def build(method_name: str, tiny: bool, teacher_quant: str = "none",
+          student_quant: str = "none"):
     import jax
 
     from audiossl_tpu.training.pretrain import Branch, OptimizerConfig
@@ -48,7 +49,7 @@ def build(method_name: str, tiny: bool, teacher_quant: str = "none"):
             optimizer=OptimizerConfig(learning_rate=4e-4, warmup_steps=40,
                                       max_steps=4000, ema=0.99),
             dtype="float32" if tiny else "bfloat16",
-            teacher_quant=teacher_quant)
+            teacher_quant=teacher_quant, student_quant=student_quant)
         method = FrameMethod(cfg)
         std_key = "std_frm_tea"
     else:
@@ -63,7 +64,7 @@ def build(method_name: str, tiny: bool, teacher_quant: str = "none"):
             optimizer=OptimizerConfig(learning_rate=4e-4, warmup_steps=40,
                                       max_steps=4000, ema=0.99),
             dtype="float32" if tiny else "bfloat16",
-            teacher_quant=teacher_quant)
+            teacher_quant=teacher_quant, student_quant=student_quant)
         method = ClipMethod(cfg)
         std_key = "std_cls_t"
     if tiny:
@@ -83,13 +84,15 @@ def build(method_name: str, tiny: bool, teacher_quant: str = "none"):
 
 
 def run(method_name: str, steps: int, batch: int, tiny: bool,
-        out_dir: str | None, seed: int = 0, teacher_quant: str = "none"):
+        out_dir: str | None, seed: int = 0, teacher_quant: str = "none",
+        student_quant: str = "none"):
     import jax
 
     from audiossl_tpu.datasets import PackedAudioDataset, write_synthetic_pack
     from audiossl_tpu.datasets.pipeline import BatchLoader
 
-    method, cfg, std_key = build(method_name, tiny, teacher_quant)
+    method, cfg, std_key = build(method_name, tiny, teacher_quant,
+                                 student_quant)
     data = tempfile.mkdtemp(prefix="convergence_data_")
     n_clips = max(4 * batch, 256 if not tiny else 64)
     clip_s = cfg.anchor_len if method_name == "frame" else cfg.anchor_len[0]
@@ -132,6 +135,7 @@ def run(method_name: str, steps: int, batch: int, tiny: bool,
     summary = {
         "method": method_name, "steps": steps, "batch": batch,
         "tiny": tiny, "teacher_quant": teacher_quant,
+        "student_quant": student_quant,
         "head_loss": head, "tail_loss": tail,
         "loss_drop": head - tail, "min_teacher_std_after_warmup": std_floor,
         "wall_s": round(time.perf_counter() - t0, 1),
@@ -141,6 +145,8 @@ def run(method_name: str, steps: int, batch: int, tiny: bool,
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         suffix = "" if teacher_quant == "none" else f"_{teacher_quant}"
+        if student_quant != "none":
+            suffix += f"_stu{student_quant}"
         base = os.path.join(out_dir, f"{method_name}_curve{suffix}")
         with open(base + ".json", "w") as f:
             json.dump({**summary, **hist}, f)
@@ -155,6 +161,8 @@ def run(method_name: str, steps: int, batch: int, tiny: bool,
             ax1.set_ylabel("BYOL loss")
             quant_tag = ("" if teacher_quant == "none"
                          else f", {teacher_quant} teacher")
+            if student_quant != "none":
+                quant_tag += f", {student_quant} student"
             ax1.set_title(f"ATST-{method_name} pretrain convergence "
                           f"({steps} steps, batch {batch}{quant_tag})")
             ax2.plot(hist["std_tea"], lw=0.8, label="teacher std")
@@ -184,11 +192,16 @@ def main():
                     choices=["none", "int8"],
                     help="A/B the int8-MXU teacher recipe variant; output "
                          "files gain an _int8 suffix")
+    ap.add_argument("--student-quant", default="none",
+                    choices=["none", "int8"],
+                    help="A/B the int8-student-forward recipe variant "
+                         "(QAT straight-through backward)")
     args = ap.parse_args()
     methods = ["frame", "clip"] if args.method == "both" else [args.method]
     for m in methods:
         summary, _ = run(m, args.steps, args.batch, args.tiny, args.out,
-                         teacher_quant=args.teacher_quant)
+                         teacher_quant=args.teacher_quant,
+                         student_quant=args.student_quant)
         assert summary["tail_loss"] < summary["head_loss"], \
             f"{m}: loss did not decrease"
 
