@@ -71,7 +71,7 @@ def build_parser():
                         "MXU peak) - an opt-in recipe change, see "
                         "docs/PROFILE.md roofline ceiling")
     p.add_argument("--student_quant", default="none",
-                   choices=["none", "int8"],
+                   choices=["none", "int8", "int8dx"],
                    help="int8: quantized student forward projections "
                         "(QAT straight-through backward) - opt-in, "
                         "see docs/PROFILE.md")

@@ -120,12 +120,14 @@ def _fwd_kernel_q8(x_ref, vk_ref, vv_ref, dp_ref, ls_ref, lb_ref,
               cdt=qkv_ref.dtype)
 
 
-def _bwd_kernel(x_ref, dy_ref, qkv_ref, r_ref, o_ref, vk_ref, dp_ref,
-                ls_ref, lb_ref, wqkv_ref, wproj_ref,
-                dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
-                dls_ref, dlb_ref, e_scr, dqkv_scr, *, H, scale, eps):
+def _bwd_impl(x_ref, dy_ref, qkv_ref, r_ref, o_ref, vk_ref, dp_ref,
+              ls_ref, lb_ref, dot_do, dot_dh, cdt,
+              dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+              dls_ref, dlb_ref, e_scr, dqkv_scr, *, H, scale, eps):
+    """Shared backward body; ``dot_do``/``dot_dh`` close over the
+    projection-weight refs (bf16 or int8-transposed SwitchBack path)
+    and map f32 cotangent rows to f32 rows."""
     b = pl.program_id(0)
-    cdt = wqkv_ref.dtype
     N, C = x_ref.shape[1], x_ref.shape[2]
     d = C // H
 
@@ -156,9 +158,7 @@ def _bwd_kernel(x_ref, dy_ref, qkv_ref, r_ref, o_ref, vk_ref, dp_ref,
         preferred_element_type=jnp.float32)
     dbproj_ref[...] += jnp.sum(dyb.astype(jnp.float32), axis=0,
                                keepdims=True)
-    do = jax.lax.dot_general(
-        dyb, wproj_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [N, C]
+    do = dot_do(dyf * dp_ref[0, 0, 0])  # [N, C]
 
     qkv = qkv_ref[0]
     # phase 1: all exp(s) blocks into scratch so phase 2's gradient
@@ -216,9 +216,7 @@ def _bwd_kernel(x_ref, dy_ref, qkv_ref, r_ref, o_ref, vk_ref, dp_ref,
         preferred_element_type=jnp.float32)  # [C, 3C]
     dbqkv_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=0,
                               keepdims=True)
-    dh = jax.lax.dot_general(
-        dqkv, wqkv_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [N, C]
+    dh = dot_dh(dqkv)  # [N, C]
     dls_ref[...] += jnp.sum(dh * xhat, axis=0, keepdims=True)
     dlb_ref[...] += jnp.sum(dh, axis=0, keepdims=True)
     dxh = dh * ls
@@ -226,6 +224,50 @@ def _bwd_kernel(x_ref, dy_ref, qkv_ref, r_ref, o_ref, vk_ref, dp_ref,
     m2 = (dxh * xhat).mean(axis=-1, keepdims=True)
     dx_ref[0] = (dyf + rstd * (dxh - m1 - xhat * m2)).astype(
         dx_ref.dtype)
+
+
+def _bwd_kernel(x_ref, dy_ref, qkv_ref, r_ref, o_ref, vk_ref, dp_ref,
+                ls_ref, lb_ref, wqkv_ref, wproj_ref,
+                dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+                dls_ref, dlb_ref, e_scr, dqkv_scr, *, H, scale, eps):
+    cdt = wqkv_ref.dtype
+
+    def dot_do(dyb):
+        return jax.lax.dot_general(
+            dyb.astype(cdt), wproj_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def dot_dh(dqkv):
+        return jax.lax.dot_general(
+            dqkv.astype(cdt), wqkv_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    _bwd_impl(x_ref, dy_ref, qkv_ref, r_ref, o_ref, vk_ref, dp_ref,
+              ls_ref, lb_ref, dot_do, dot_dh, cdt,
+              dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+              dls_ref, dlb_ref, e_scr, dqkv_scr, H=H, scale=scale,
+              eps=eps)
+
+
+def _bwd_kernel_q8dx(x_ref, dy_ref, qkv_ref, r_ref, o_ref, vk_ref,
+                     dp_ref, ls_ref, lb_ref, wqkvt_ref, sqkvt_ref,
+                     wprojt_ref, sprojt_ref,
+                     dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref,
+                     dbproj_ref, dls_ref, dlb_ref, e_scr, dqkv_scr, *,
+                     H, scale, eps):
+    """SwitchBack-style backward: the grad-to-input dots (do, dh) run
+    on the int8 MXU against TRANSPOSED per-(input-)channel-quantized
+    weights; weight-gradient dots stay bf16 (see pallas_mlp
+    _bwd_kernel_q8dx)."""
+    _bwd_impl(x_ref, dy_ref, qkv_ref, r_ref, o_ref, vk_ref, dp_ref,
+              ls_ref, lb_ref,
+              lambda dyb: _q8_dot(dyb, wprojt_ref, sprojt_ref),
+              lambda dqkv: _q8_dot(dqkv.astype(jnp.float32),
+                                   wqkvt_ref, sqkvt_ref),
+              x_ref.dtype,
+              dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+              dls_ref, dlb_ref, e_scr, dqkv_scr, H=H, scale=scale,
+              eps=eps)
 
 
 def _valid_v(validf):
@@ -261,15 +303,15 @@ def fused_attn_block(x, valid, dp, ls, lb, wqkv, bqkv, wproj, bproj,
 
 def _fwd(x, valid, dp, ls, lb, wqkv, bqkv, wproj, bproj, num_heads,
          eps, interpret, quant=None):
-    if quant not in (None, "int8"):
+    if quant not in (None, "int8", "int8dx"):
         raise ValueError(f"unknown quant mode {quant!r} "
-                         "(supported: None, 'int8')")
+                         "(supported: None, 'int8', 'int8dx')")
     B, N, C = x.shape
     d = C // num_heads
     cdt = x.dtype
     validf = valid.astype(jnp.float32)
     vv = _valid_v(validf)
-    if quant == "int8":
+    if quant in ("int8", "int8dx"):  # int8dx: same forward as int8
         wqkv_q, sqkv = quantize_weight_q8(wqkv)
         wproj_q, sproj = quantize_weight_q8(wproj)
         wqkv_sv = (wqkv_q.astype(jnp.float32) * sqkv).astype(cdt)
@@ -356,9 +398,32 @@ def _bwd(num_heads, eps, interpret, quant, res, dy):
     B, N, C = x.shape
     d = C // num_heads
     cdt = x.dtype
+    if quant == "int8dx":
+        # transposed per-(input-)channel quantization for the grad-to-
+        # input contractions (see pallas_mlp._bwd)
+        wqkvt_q, sqkvt = quantize_weight_q8(wqkv.T)  # [3C, C], [1, C]
+        wprojt_q, sprojt = quantize_weight_q8(wproj.T)
+        kernel = functools.partial(_bwd_kernel_q8dx, H=num_heads,
+                                   scale=d ** -0.5, eps=eps)
+        w_ops = [wqkvt_q, sqkvt, wprojt_q, sprojt]
+        w_specs = [
+            pl.BlockSpec((3 * C, C), _const(0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
+        ]
+    else:
+        kernel = functools.partial(_bwd_kernel, H=num_heads,
+                                   scale=d ** -0.5, eps=eps)
+        w_ops = [wqkv.astype(cdt), wproj.astype(cdt)]
+        w_specs = [
+            pl.BlockSpec((C, 3 * C), _const(0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), _const(0, 0), memory_space=pltpu.VMEM),
+        ]
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, H=num_heads, scale=d ** -0.5,
-                          eps=eps),
+        kernel,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
@@ -377,10 +442,7 @@ def _bwd(num_heads, eps, interpret, quant, res, dy):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, 3 * C), _const(0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, C), _const(0, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + w_specs,
         out_specs=(
             pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -420,7 +482,7 @@ def _bwd(num_heads, eps, interpret, quant, res, dy):
     )(x, dy.astype(cdt), qkv, r, o, validf[:, None, :],
       dp.astype(jnp.float32)[:, None, None],
       _row(ls.astype(jnp.float32)), _row(lb.astype(jnp.float32)),
-      wqkv.astype(cdt), wproj.astype(cdt))
+      *w_ops)
     dx, dwqkv, dbqkv, dwproj, dbproj, dls, dlb = outs
     return (dx, jnp.zeros_like(validf), jnp.zeros_like(dp),
             dls[0].astype(ls.dtype), dlb[0].astype(lb.dtype),

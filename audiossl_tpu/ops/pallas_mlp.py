@@ -144,13 +144,16 @@ def _fwd_kernel_q8(x_ref, dp_ref, ls_ref, lb_ref, w1_ref, s1_ref,
     y_ref[...] = (xf + y * dp).astype(y_ref.dtype).reshape(mb, N, C)
 
 
-def _bwd_kernel(x_ref, dy_ref, u_ref, dp_ref, ls_ref, lb_ref, w1_ref,
-                w2_ref, dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                dls_ref, dlb_ref, *, eps):
+def _bwd_impl(x_ref, dy_ref, u_ref, dp_ref, ls_ref, lb_ref,
+              dot_da, dot_dh, cdt,
+              dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+              dls_ref, dlb_ref, *, eps):
+    """Shared backward body. ``dot_da``/``dot_dh`` close over the
+    weight refs (bf16 or int8-transposed SwitchBack path) and map f32
+    cotangent rows to f32 rows."""
     b = pl.program_id(0)
-    cdt = w1_ref.dtype
     mb, N, C = x_ref.shape
-    Hd = w1_ref.shape[1]
+    Hd = u_ref.shape[2]
 
     @pl.when(b == 0)
     def _():
@@ -181,18 +184,14 @@ def _bwd_kernel(x_ref, dy_ref, u_ref, dp_ref, ls_ref, lb_ref, w1_ref,
         a, dyb_c, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)           # [4C, C]
     db2_ref[...] += jnp.sum(dyb, axis=0, keepdims=True)
-    da = jax.lax.dot_general(
-        dyb_c, w2_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)           # [N, 4C]
+    da = dot_da(dyb)                                  # [N, 4C]
     du = da * gp
     du_c = du.astype(cdt)
     dw1_ref[...] += jax.lax.dot_general(
         h, du_c, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)           # [C, 4C]
     db1_ref[...] += jnp.sum(du, axis=0, keepdims=True)
-    dh = jax.lax.dot_general(
-        du_c, w1_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)           # [N, C]
+    dh = dot_dh(du)                                   # [N, C]
     dls_ref[...] += jnp.sum(dh * xhat, axis=0, keepdims=True)
     dlb_ref[...] += jnp.sum(dh, axis=0, keepdims=True)
     dxh = dh * ls
@@ -200,6 +199,44 @@ def _bwd_kernel(x_ref, dy_ref, u_ref, dp_ref, ls_ref, lb_ref, w1_ref,
     m2 = (dxh * xhat).mean(axis=-1, keepdims=True)
     dx_ref[...] = (dyf + rstd * (dxh - m1 - xhat * m2)).astype(
         dx_ref.dtype).reshape(mb, N, C)
+
+
+def _bwd_kernel(x_ref, dy_ref, u_ref, dp_ref, ls_ref, lb_ref, w1_ref,
+                w2_ref, dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                dls_ref, dlb_ref, *, eps):
+    cdt = w1_ref.dtype
+
+    def dot_da(dyb):
+        return jax.lax.dot_general(
+            dyb.astype(cdt), w2_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def dot_dh(du):
+        return jax.lax.dot_general(
+            du.astype(cdt), w1_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    _bwd_impl(x_ref, dy_ref, u_ref, dp_ref, ls_ref, lb_ref,
+              dot_da, dot_dh, cdt,
+              dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+              dls_ref, dlb_ref, eps=eps)
+
+
+def _bwd_kernel_q8dx(x_ref, dy_ref, u_ref, dp_ref, ls_ref, lb_ref,
+                     w1t_ref, s1t_ref, w2t_ref, s2t_ref,
+                     dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                     dls_ref, dlb_ref, *, eps):
+    """SwitchBack-style backward: the two grad-to-INPUT dots (da, dh)
+    run on the int8 MXU against TRANSPOSED per-(input-)channel-
+    quantized weights; the weight-gradient dots (dw1, dw2) stay bf16 —
+    gradient noise on dW is what int8 training ablations show matters
+    most, so those keep full precision."""
+    _bwd_impl(x_ref, dy_ref, u_ref, dp_ref, ls_ref, lb_ref,
+              lambda dyb: _q8_dot(dyb, w2t_ref, s2t_ref),
+              lambda du: _q8_dot(du, w1t_ref, s1t_ref),
+              x_ref.dtype,
+              dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+              dls_ref, dlb_ref, eps=eps)
 
 
 def _pick_mb(B):
@@ -238,14 +275,14 @@ def fused_mlp_block(x, dp, ls, lb, w1, b1, w2, b2, eps=1e-6,
 
 
 def _fwd(x, dp, ls, lb, w1, b1, w2, b2, eps, interpret, quant=None):
-    if quant not in (None, "int8"):
+    if quant not in (None, "int8", "int8dx"):
         raise ValueError(f"unknown quant mode {quant!r} "
-                         "(supported: None, 'int8')")
+                         "(supported: None, 'int8', 'int8dx')")
     B, N, C = x.shape
     Hd = w1.shape[1]
     cdt = x.dtype
     mb = _pick_mb(B)
-    if quant == "int8":
+    if quant in ("int8", "int8dx"):  # int8dx: same forward as int8
         w1q, s1 = quantize_weight_q8(w1)
         w2q, s2 = quantize_weight_q8(w2)
         # the backward differentiates the dequantized-weight function
@@ -316,8 +353,28 @@ def _bwd(eps, interpret, quant, res, dy):
     Hd = w1.shape[1]
     cdt = x.dtype
     mb = _pick_mb(B)
+    if quant == "int8dx":
+        # transposed per-(input-)channel quantization: the grad-to-
+        # input contractions need scales constant over THEIR reduce dim
+        w1t_q, s1t = quantize_weight_q8(w1.T)  # [Hd, C], [1, C]
+        w2t_q, s2t = quantize_weight_q8(w2.T)  # [C, Hd], [1, Hd]
+        kernel = functools.partial(_bwd_kernel_q8dx, eps=eps)
+        w_ops = [w1t_q, s1t, w2t_q, s2t]
+        w_specs = [
+            pl.BlockSpec((Hd, C), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Hd), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hd), _const(0, 0), memory_space=pltpu.VMEM),
+        ]
+    else:
+        kernel = functools.partial(_bwd_kernel, eps=eps)
+        w_ops = [w1.astype(cdt), w2.astype(cdt)]
+        w_specs = [
+            pl.BlockSpec((C, Hd), _const(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hd, C), _const(0, 0), memory_space=pltpu.VMEM),
+        ]
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, eps=eps),
+        kernel,
         grid=(B // mb,),
         in_specs=[
             pl.BlockSpec((mb, N, C), lambda b: (b, 0, 0),
@@ -330,9 +387,7 @@ def _bwd(eps, interpret, quant, res, dy):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), _const(0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, Hd), _const(0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Hd, C), _const(0, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + w_specs,
         out_specs=(
             pl.BlockSpec((mb, N, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -368,7 +423,7 @@ def _bwd(eps, interpret, quant, res, dy):
     )(x, dy.astype(x.dtype), u,
       dp.astype(jnp.float32)[:, None, None],
       _row(ls.astype(jnp.float32)), _row(lb.astype(jnp.float32)),
-      w1.astype(cdt), w2.astype(cdt))
+      *w_ops)
     dx, dw1, db1, dw2, db2, dls, dlb = outs
     return (dx, jnp.zeros_like(dp),
             dls[0].astype(ls.dtype), dlb[0].astype(lb.dtype),

@@ -368,7 +368,8 @@ def main():
                        else "none"),
         # --int8-student: opt-in quantized student forward projections
         # (QAT straight-through backward; ops/pallas_attn.py)
-        student_quant=("int8" if "--int8-student" in sys.argv[1:]
+        student_quant=("int8dx" if "--int8dx-student" in sys.argv[1:]
+                       else "int8" if "--int8-student" in sys.argv[1:]
                        else "none"),
     )
     method = FrameMethod(cfg)
@@ -391,7 +392,8 @@ def main():
     if cfg.teacher_quant != "none":
         metric += "_int8_teacher"
     if cfg.student_quant != "none":
-        metric += "_int8_student"
+        metric += ("_int8dx_student" if cfg.student_quant == "int8dx"
+                   else "_int8_student")
     print(json.dumps({
         "metric": metric,
         "value": round(clips_per_sec, 2),

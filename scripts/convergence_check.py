@@ -193,7 +193,7 @@ def main():
                     help="A/B the int8-MXU teacher recipe variant; output "
                          "files gain an _int8 suffix")
     ap.add_argument("--student-quant", default="none",
-                    choices=["none", "int8"],
+                    choices=["none", "int8", "int8dx"],
                     help="A/B the int8-student-forward recipe variant "
                          "(QAT straight-through backward)")
     args = ap.parse_args()

@@ -131,6 +131,8 @@ def main():
                     help="profile the int8-quantized-teacher recipe variant")
     ap.add_argument("--int8-student", action="store_true",
                     help="profile the int8-student-forward recipe variant")
+    ap.add_argument("--int8dx-student", action="store_true",
+                    help="profile the int8 fwd + int8-dX-backward variant")
     ap.add_argument("--keep", default=None,
                     help="keep the trace under this directory")
     ap.add_argument("--filter", default=None,
@@ -143,7 +145,8 @@ def main():
         step, state, batch = build_frame_step(
             args.batch,
             teacher_quant="int8" if args.int8_teacher else "none",
-            student_quant="int8" if args.int8_student else "none")
+            student_quant=("int8dx" if args.int8dx_student
+                           else "int8" if args.int8_student else "none"))
     for _ in range(4):          # compile + settle
         state, metrics = step(state, batch)
     float(metrics["loss"])

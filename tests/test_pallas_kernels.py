@@ -472,12 +472,18 @@ def test_fused_attn_block_zero_length_row_finite():
         assert np.all(np.isfinite(np.asarray(g)))
 
 
-def test_fused_mlp_block_int8_tracks_float():
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("mode", ["int8", "int8dx"])
+def test_fused_mlp_block_int8_tracks_float(mode):
     """quant="int8" trainable MLP forward (per-channel weight x
     per-row activation scales) tracks the float kernel within int8
     error bounds, and the QAT straight-through backward (dequantized
     weights + TRUE quantized-path pre-activation) stays within ~2% of
-    the float gradients on realistic-scale inputs."""
+    the float gradients on realistic-scale inputs. "int8dx"
+    additionally runs the grad-to-input dots (da, dh) on the int8 MXU
+    against transposed per-channel-quantized weights (SwitchBack)."""
     from audiossl_tpu.ops.pallas_mlp import fused_mlp_block
 
     B, N, C, Hd = 2, 16, 32, 128
@@ -496,13 +502,13 @@ def test_fused_mlp_block_int8_tracks_float():
         return fused_mlp_block(x, dp, *a, 1e-6, True, quant)
 
     y_f = f(None, ls, lb, w1, b1, w2, b2)
-    y_q = f("int8", ls, lb, w1, b1, w2, b2)
+    y_q = f(mode, ls, lb, w1, b1, w2, b2)
     rel = float(jnp.linalg.norm(y_q - y_f) / jnp.linalg.norm(y_f))
     assert rel < 0.02, rel
 
     g_f = jax.grad(lambda *a: jnp.sum(f(None, *a) * r),
                    argnums=tuple(range(6)))(ls, lb, w1, b1, w2, b2)
-    g_q = jax.grad(lambda *a: jnp.sum(f("int8", *a) * r),
+    g_q = jax.grad(lambda *a: jnp.sum(f(mode, *a) * r),
                    argnums=tuple(range(6)))(ls, lb, w1, b1, w2, b2)
     for name, a, b in zip(["dls", "dlb", "dw1", "db1", "dw2", "db2"],
                           g_q, g_f):
@@ -512,11 +518,12 @@ def test_fused_mlp_block_int8_tracks_float():
         assert gr < 0.05, (name, gr)
 
 
-def test_fused_attn_block_int8_tracks_float():
+@_pytest.mark.parametrize("mode", ["int8", "int8dx"])
+def test_fused_attn_block_int8_tracks_float(mode):
     """quant="int8" trainable attention forward (int8 qkv/proj
     projections, bf16 attention dots) tracks the float kernel;
     straight-through gradients stay close, including the masked
-    (ragged-length) rows."""
+    (ragged-length) rows. "int8dx" adds SwitchBack int8 do/dh dots."""
     from audiossl_tpu.ops.pallas_attn import fused_attn_block
 
     B, H, N, d = 2, 2, 24, 8
@@ -539,14 +546,14 @@ def test_fused_attn_block_int8_tracks_float():
         return fused_attn_block(x, valid, dp, *a, H, 1e-6, True, quant)
 
     y_f = f(None, ls, lb, wqkv, bqkv, wproj, bproj)
-    y_q = f("int8", ls, lb, wqkv, bqkv, wproj, bproj)
+    y_q = f(mode, ls, lb, wqkv, bqkv, wproj, bproj)
     rel = float(jnp.linalg.norm(y_q - y_f) / jnp.linalg.norm(y_f))
     assert rel < 0.02, rel
 
     args = (ls, lb, wqkv, bqkv, wproj, bproj)
     g_f = jax.grad(lambda *a: jnp.sum(f(None, *a) * r),
                    argnums=tuple(range(6)))(*args)
-    g_q = jax.grad(lambda *a: jnp.sum(f("int8", *a) * r),
+    g_q = jax.grad(lambda *a: jnp.sum(f(mode, *a) * r),
                    argnums=tuple(range(6)))(*args)
     for name, a, b in zip(
             ["dls", "dlb", "dwqkv", "dbqkv", "dwproj", "dbproj"],
