@@ -52,6 +52,12 @@ def main():
                          "well below 1.0 on the probe (headroom for the "
                          "gain measurement)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--teacher-quant", default="none",
+                    choices=["none", "int8"],
+                    help="A/B the quantized-teacher recipe variant")
+    ap.add_argument("--student-quant", default="none",
+                    choices=["none", "int8", "int8dx"],
+                    help="A/B the quantized-student recipe variant")
     args = ap.parse_args()
 
     import jax
@@ -77,7 +83,9 @@ def main():
             learning_rate=4e-4, warmup_steps=max(args.steps // 20, 10),
             max_steps=max(args.steps, 100), ema=0.99),
         dtype="bfloat16" if on_tpu else "float32",
-        fused_attention=on_tpu)
+        fused_attention=on_tpu,
+        teacher_quant=args.teacher_quant,
+        student_quant=args.student_quant)
     method = FrameMethod(cfg)
     if args.tiny:
         from audiossl_tpu.models.atst import AudioTransformer
@@ -174,6 +182,8 @@ def main():
     summary = {
         "arch": arch, "steps": args.steps, "batch": args.batch,
         "classes": args.classes, "noise": args.noise,
+        "teacher_quant": args.teacher_quant,
+        "student_quant": args.student_quant,
         "acc_init": curve[0]["acc"], "acc_final": curve[-1]["acc"],
         "acc_gain": curve[-1]["acc"] - curve[0]["acc"],
         "wall_s": round(time.perf_counter() - t0, 1),
@@ -182,7 +192,12 @@ def main():
     print(json.dumps({k: v for k, v in summary.items() if k != "curve"}))
     if args.out:
         os.makedirs(args.out, exist_ok=True)
-        base = os.path.join(args.out, "probe_gain")
+        suffix = ""
+        if args.teacher_quant != "none":
+            suffix += f"_tea{args.teacher_quant}"
+        if args.student_quant != "none":
+            suffix += f"_stu{args.student_quant}"
+        base = os.path.join(args.out, "probe_gain" + suffix)
         with open(base + ".json", "w") as f:
             json.dump(summary, f, indent=1)
         try:
