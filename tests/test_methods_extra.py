@@ -130,3 +130,22 @@ def test_frame_pretrain_config_defaults_match_published_recipe():
     assert cfg.mask_type == "block"
     assert cfg.mask_len == 5
     assert cfg.min_mask_len == 2
+
+
+def test_student_quant_plumbs_to_encoders():
+    """student_quant reaches the STUDENT encoder's train_quant only;
+    the teacher keeps no-grad kernels (train_quant=none) and its own
+    infer_quant (ops/pallas_attn.py / pallas_block.py)."""
+    from audiossl_tpu.methods.atstframe.method import (
+        FrameMethod,
+        FramePretrainConfig,
+    )
+
+    cfg = FramePretrainConfig(arch="tiny", anchor_len=2.0,
+                              teacher_quant="int8",
+                              student_quant="int8dx")
+    m = FrameMethod(cfg)
+    assert m.student.encoder.train_quant == "int8dx"
+    assert m.teacher.encoder.train_quant == "none"
+    assert m.teacher.encoder.infer_quant == "int8"
+    assert m.student.encoder.infer_quant == "none"
