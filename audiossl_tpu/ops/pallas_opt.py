@@ -205,12 +205,12 @@ def fused_opt_available() -> bool:
     call has no SPMD partitioning rule, so sharded (ZeRO-1) state
     stays on the XLA elementwise path (parallel/mesh.py).
 
-    Default OFF: the round-4 end-to-end A/B measured the XLA
-    elementwise path marginally faster (353.52 vs 352.33 clips/s —
-    the kernel reaches its ~8.7 ms HBM floor but custom-call boundary
-    copies eat the win; docs/PROFILE.md round-4 A/B table). Opt in
-    with AUDIOSSL_FUSED_OPT=1; re-evaluate if the boundary-copy
-    bucket shrinks."""
+    Default ON since round 5: the round-4 A/B measured the XLA path
+    marginally faster (353.52 vs 352.33 clips/s — custom-call boundary
+    copies ate the kernel's win), but once the fused attention block
+    kernel removed those seams the retry measured the Pallas path
+    net-positive (369.89 vs 366.46 = +0.9%, docs/PROFILE.md round-5
+    re-run table). Opt out with AUDIOSSL_FUSED_OPT=0."""
     return (jax.default_backend() == "tpu"
-            and os.environ.get("AUDIOSSL_FUSED_OPT", "0") == "1"
+            and os.environ.get("AUDIOSSL_FUSED_OPT", "1") == "1"
             and len(jax.devices()) == 1)
