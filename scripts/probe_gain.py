@@ -14,7 +14,22 @@ Pass criterion: probe accuracy at the final checkpoint is well above
 the random-init checkpoint (the mel front end alone already separates
 these classes somewhat; the gain over step 0 is the evidence).
 
-Writes {out}/probe_gain.json (+ .png) under docs/convergence/.
+Corpus design matters (measured 2026-08-20, docs/PROFILE.md): with
+``--corpus f0am`` (class = f0 x AM-rate cell, the int8_drift corpus)
+probe accuracy FALLS with training — the ATST augmentation stack
+(random-resized-crop freq/time rescaling) explicitly trains
+invariance to pitch and rate, i.e. to the class signal itself, so
+that curve demonstrates the augmentations working, not representation
+quality. The default ``--corpus shape`` therefore encodes class in
+augmentation-STABLE structure — which harmonics are present (a 6-bit
+comb over harmonics 2..7) — while f0 and AM rate are randomized per
+sample (class-uncorrelated): freq rescaling translates the comb on
+the log-mel axis but preserves its shape, the factor SSL invariance
+training is supposed to surface. This mirrors real audio, where
+classes ride timbre/texture, not absolute pitch.
+
+Writes {out}/probe_gain.json (+ .png) under docs/convergence/
+(``_f0am`` suffix for the legacy corpus, quant suffixes for A/Bs).
 
 Usage (real chip, ~4-6 min at defaults):
     python scripts/probe_gain.py --steps 2000 --probe-every 400
@@ -37,6 +52,40 @@ import numpy as np
 from int8_drift import ridge_probe, synth_class_audio  # noqa: E402
 
 
+def synth_shape_audio(rng, n, sr, seconds, k, n_classes, noise=0.05):
+    """Class-k audio with augmentation-STABLE class structure: the
+    class decides WHICH harmonics sound (bit b of k toggles harmonic
+    b+2; fundamental and harmonic 8 are always-on anchors), while f0
+    (80..640 Hz, log-uniform) and the AM rate are drawn per sample,
+    uncorrelated with the class. Frequency rescaling (the RRC
+    augmentation) translates the comb along the log-mel axis but
+    preserves which teeth are present, so a representation that
+    improves under the ATST augmentations can only do so by exposing
+    the comb shape — the probe then measures representation quality,
+    not invariance erosion (see module docstring)."""
+    amp = np.array(
+        [1.0] + [0.1 + 0.9 * ((k >> b) & 1) for b in range(6)] + [0.7],
+        np.float32)
+    t = np.arange(int(seconds * sr)) / sr
+    out = np.zeros((n, t.size), np.float32)
+    for i in range(n):
+        f0 = 80.0 * (2.0 ** rng.uniform(0.0, 3.0))
+        am = rng.uniform(2.0, 8.0)
+        phase = rng.uniform(0, 2 * np.pi)
+        sig = np.zeros_like(t)
+        for h in range(1, 9):
+            sig += (amp[h - 1] * rng.uniform(0.8, 1.2) / np.sqrt(h)
+                    * np.sin(2 * np.pi * f0 * h
+                             * (1 + rng.uniform(-.02, .02)) * t
+                             + phase * h))
+        env = 0.6 + 0.4 * np.sin(2 * np.pi * am * t
+                                 + rng.uniform(0, 6.28))
+        out[i] = (sig * env + rng.randn(t.size) * noise
+                  ).astype(np.float32)
+        out[i] *= 0.1 / max(np.abs(out[i]).max(), 1e-6)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
@@ -52,6 +101,14 @@ def main():
                          "well below 1.0 on the probe (headroom for the "
                          "gain measurement)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--corpus", default="shape",
+                    choices=["shape", "f0am"],
+                    help="'shape': class = harmonic comb, f0/AM "
+                         "randomized (augmentation-stable class signal "
+                         "— the representation-quality measurement); "
+                         "'f0am': class = f0 x AM cell (augmentation-"
+                         "UNSTABLE; accuracy falls as invariance is "
+                         "learned — kept as the invariance demo)")
     ap.add_argument("--teacher-quant", default="none",
                     choices=["none", "int8"],
                     help="A/B the quantized-teacher recipe variant")
@@ -100,14 +157,14 @@ def main():
 
     # ---- corpora: pretrain pack + probe train/test sets, same classes
     rng = np.random.RandomState(args.seed)
+    gen = synth_shape_audio if args.corpus == "shape" else synth_class_audio
     sec = cfg.anchor_len + 1.0
     data = tempfile.mkdtemp(prefix="probe_gain_data_")
     n_pretrain = max(8 * args.batch, 384)
     with PackedWriter(os.path.join(data, "train.ards")) as writer:
         for i in range(n_pretrain):
             k = i % args.classes
-            w = synth_class_audio(rng, 1, cfg.sr, sec, k,
-                                  args.classes, args.noise)[0]
+            w = gen(rng, 1, cfg.sr, sec, k, args.classes, args.noise)[0]
             writer.add(np.clip(w * 32767, -32767, 32767).astype(np.int16),
                        int(k), cfg.sr)
     dataset = PackedAudioDataset(data, "train")
@@ -115,9 +172,8 @@ def main():
     n_tr, n_te = args.per_class, max(args.per_class // 3, 8)
     wavs, labs = [], []
     for k in range(args.classes):
-        wavs.append(synth_class_audio(rng, n_tr + n_te, cfg.sr,
-                                      cfg.anchor_len, k, args.classes,
-                                      args.noise))
+        wavs.append(gen(rng, n_tr + n_te, cfg.sr, cfg.anchor_len, k,
+                        args.classes, args.noise))
         labs.append(np.full(n_tr + n_te, k))
     probe_wav = np.concatenate(wavs)
     probe_lab = np.concatenate(labs)
@@ -182,6 +238,7 @@ def main():
     summary = {
         "arch": arch, "steps": args.steps, "batch": args.batch,
         "classes": args.classes, "noise": args.noise,
+        "corpus": args.corpus,
         "teacher_quant": args.teacher_quant,
         "student_quant": args.student_quant,
         "acc_init": curve[0]["acc"], "acc_final": curve[-1]["acc"],
@@ -192,7 +249,7 @@ def main():
     print(json.dumps({k: v for k, v in summary.items() if k != "curve"}))
     if args.out:
         os.makedirs(args.out, exist_ok=True)
-        suffix = ""
+        suffix = "" if args.corpus == "shape" else f"_{args.corpus}"
         if args.teacher_quant != "none":
             suffix += f"_tea{args.teacher_quant}"
         if args.student_quant != "none":
